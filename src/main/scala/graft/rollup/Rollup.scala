@@ -1,0 +1,114 @@
+package graft.rollup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tier
+
+/** Continuous-aggregate tier cascade: raw → 1m → 1h → 1d.
+  *
+  * Replaces the reference's time-bucketed rollup core (`dt.round` at
+  * /root/reference/jaeger_prometheus_joining/transformationscripts/
+  * MetricsParser.py:118 + grouped aggregation at featureengineering/
+  * TraceInOneRowExploder.py:58-123, systemwide rollup Joiner.py:345-354)
+  * with floor bucketing (`date_trunc`) and an algebraic metric set so
+  * that fold(1m)→1h and fold(1h)→1d equal raw→1h / raw→1d exactly:
+  * only sums / counts / min / max are stored, means are derived.
+  *
+  * Scale notes (100 TB / 10^12-turn design point):
+  *   - raw→1m is a single hash aggregate keyed (conv_id, bucket):
+  *     map-side partial aggregation bounds shuffle volume by the
+  *     number of *distinct* (conv, minute) pairs, not turn count.
+  *   - tier→tier folds shuffle only tier rows (≤ |convs| × buckets).
+  *   - hot conversations (a (conv,bucket) pair with millions of rows)
+  *     are handled by [[rollupRawSalted]]: a two-phase salted
+  *     aggregate whose partials are the same algebraic metrics, so
+  *     the result is bit-identical to the unsalted plan.
+  */
+object Rollup {
+
+  val metricCols: Seq[String] = Seq("turn_cnt", "tool_cnt", "text_len_sum",
+    "text_len_min", "text_len_max", "role_user_cnt", "role_assistant_cnt",
+    "role_tool_cnt")
+
+  /** Aggregations from raw turn rows. */
+  private def rawAggs: Seq[Column] = Seq(
+    count(lit(1)).as("turn_cnt"),
+    count(col("tool")).as("tool_cnt"),
+    sum(length(col("text")).cast("long")).as("text_len_sum"),
+    min(length(col("text")).cast("long")).as("text_len_min"),
+    max(length(col("text")).cast("long")).as("text_len_max"),
+    count(when(col("role") === "user", 1)).as("role_user_cnt"),
+    count(when(col("role") === "assistant", 1)).as("role_assistant_cnt"),
+    count(when(col("role") === "tool", 1)).as("role_tool_cnt"))
+
+  /** Re-aggregations that fold a finer tier into a coarser one.
+    * Exact because all metrics are algebraic (sum/min/max compose).
+    */
+  private def foldAggs: Seq[Column] = Seq(
+    sum(col("turn_cnt")).as("turn_cnt"),
+    sum(col("tool_cnt")).as("tool_cnt"),
+    sum(col("text_len_sum")).as("text_len_sum"),
+    min(col("text_len_min")).as("text_len_min"),
+    max(col("text_len_max")).as("text_len_max"),
+    sum(col("role_user_cnt")).as("role_user_cnt"),
+    sum(col("role_assistant_cnt")).as("role_assistant_cnt"),
+    sum(col("role_tool_cnt")).as("role_tool_cnt"))
+
+  def bucket(tsCol: Column, tier: Tier): Column =
+    date_trunc(tier.truncUnit, tsCol)
+
+  /** raw turns → tier rows. One shuffle, map-side combined. */
+  def rollupRaw(turns: DataFrame, tier: Tier): DataFrame =
+    turns
+      .groupBy(col("conv_id"), bucket(col("ts"), tier).as("bucket_ts"))
+      .agg(rawAggs.head, rawAggs.tail: _*)
+
+  /** Salted two-phase variant for skewed inputs: phase 1 aggregates
+    * (conv, bucket, salt) partials — spreading a hot key over
+    * `saltBuckets` reducers — phase 2 merges partials. Result is
+    * exactly [[rollupRaw]] because the metric set is algebraic.
+    */
+  def rollupRawSalted(turns: DataFrame, tier: Tier, saltBuckets: Int = 16): DataFrame = {
+    val partial = turns
+      .withColumn("_salt", pmod(hash(col("turn_idx"), col("ts")), lit(saltBuckets)))
+      .groupBy(col("conv_id"), bucket(col("ts"), tier).as("bucket_ts"), col("_salt"))
+      .agg(rawAggs.head, rawAggs.tail: _*)
+    partial
+      .groupBy(col("conv_id"), col("bucket_ts"))
+      .agg(foldAggs.head, foldAggs.tail: _*)
+  }
+
+  /** finer tier rows → coarser tier rows (e.g. 1m → 1h). */
+  def foldTier(finer: DataFrame, to: Tier): DataFrame =
+    finer
+      .groupBy(col("conv_id"), bucket(col("bucket_ts"), to).as("bucket_ts"))
+      .agg(foldAggs.head, foldAggs.tail: _*)
+
+  /** The full cascade from raw turns: returns tier name → rows.
+    * 1m is computed from raw; 1h folds 1m; 1d folds 1h.
+    */
+  def cascade(turns: DataFrame): Map[String, DataFrame] = {
+    val m1 = rollupRaw(turns, Tier.Minute)
+    val h1 = foldTier(m1, Tier.Hour)
+    val d1 = foldTier(h1, Tier.Day)
+    Map("1m" -> m1, "1h" -> h1, "1d" -> d1)
+  }
+
+  /** SQL body for the DuckDB oracle of a raw→tier rollup (expects a
+    * `turns` relation in scope). Kept textually tiny so every tier
+    * query shares one source of truth.
+    */
+  def oracleSql(tier: Tier): String =
+    s"""SELECT conv_id, date_trunc('${tier.truncUnit}', ts) AS bucket_ts,
+       |  count(*) AS turn_cnt,
+       |  count(tool) AS tool_cnt,
+       |  CAST(sum(length(text)) AS BIGINT) AS text_len_sum,
+       |  CAST(min(length(text)) AS BIGINT) AS text_len_min,
+       |  CAST(max(length(text)) AS BIGINT) AS text_len_max,
+       |  count(CASE WHEN role = 'user' THEN 1 END) AS role_user_cnt,
+       |  count(CASE WHEN role = 'assistant' THEN 1 END) AS role_assistant_cnt,
+       |  count(CASE WHEN role = 'tool' THEN 1 END) AS role_tool_cnt
+       |FROM turns
+       |GROUP BY 1, 2""".stripMargin
+}

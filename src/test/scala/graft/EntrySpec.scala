@@ -1,0 +1,47 @@
+package graft
+
+import graft.datagen.TranscriptGen
+
+class EntrySpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs on sf0.001 and returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query has an oracle or a documented omission") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // non-SQL-expressible ops may be omitted; keep the list explicit
+    val allowedOmissions = Set.empty[String]
+    assert(missing == allowedOmissions, s"queries missing oracle SQL: $missing")
+  }
+
+  test("oracle keys all refer to real queries") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
+  }
+
+  test("derived transcript table: stable (conv_id, turn_idx) order, unique keys") {
+    val t = TranscriptGen.fromEvents(spark, sfDir).cache()
+    val n = t.count()
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(n == ev, "one turn per event")
+    val dupes = t.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+    assert(dupes == 0, "(conv_id, turn_idx) must be unique")
+    // turn_idx is 0..n-1 dense per conversation
+    val bad = t.groupBy("conv_id")
+      .agg(org.apache.spark.sql.functions.expr("max(turn_idx) + 1 as mx"),
+        org.apache.spark.sql.functions.expr("count(*) as cnt"))
+      .filter("mx != cnt").count()
+    assert(bad == 0, "turn_idx must be dense per conversation")
+    t.unpersist()
+  }
+}
