@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.compress.ChunkCodec
 import graft.datagen.TranscriptGen
+import graft.functions.GapFill
 import graft.model.Tier
 import graft.rollup.Rollup
 
@@ -56,6 +58,29 @@ object SparkEntry {
         sum(col("text_len_sum")).over(w).as("cum_text_len"))
     }),
 
+    // --- gap-fill: densify 1h series + linear interpolation (§2.5).
+    // 1h tier: the dense grid is |convs|×span/1h — at 1m granularity a
+    // month-spanning conversation would densify to 43k buckets, which
+    // is the wrong tier for sparse series (grid explosion) ---
+    "q_gapfill_1h" -> ((s, dir) =>
+      GapFill.linear(Rollup.rollupRaw(turns(s, dir), Tier.Hour),
+        "text_len_sum", Tier.Hour)),
+
+    // --- Gorilla chunk encode→decode round-trip, distributed (§2.9) ---
+    "q_chunk_roundtrip" -> ((s, dir) => {
+      val m1 = Rollup.rollupRaw(turns(s, dir), Tier.Minute)
+      val chunks = m1
+        .groupBy(col("conv_id"), date_trunc("day", col("bucket_ts")).as("day"))
+        .agg(ChunkCodec.chunkEncode(
+          unix_micros(col("bucket_ts")),
+          col("text_len_sum").cast("double")).as("chunk"))
+      chunks
+        .select(col("conv_id"), explode(ChunkCodec.chunkDecode(col("chunk"))).as("p"))
+        .select(col("conv_id"),
+          timestamp_micros(col("p.ts")).as("bucket_ts"),
+          col("p.v").as("text_len"))
+    }),
+
     // --- TPC-H-ish baseline agg (A1-family hash aggregate) ---
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -87,6 +112,41 @@ object SparkEntry {
            |FROM (${Rollup.oracleSql(Tier.Day)}) t
            |WINDOW w AS (PARTITION BY conv_id ORDER BY bucket_ts
            |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+      "q_gapfill_1h" -> withTurns(
+        s"""WITH t AS (${Rollup.oracleSql(Tier.Hour)}),
+           |grid AS (
+           |  SELECT conv_id,
+           |    unnest(generate_series(min(bucket_ts), max(bucket_ts),
+           |      INTERVAL 1 HOUR)) AS bucket_ts
+           |  FROM t GROUP BY conv_id),
+           |j AS (
+           |  SELECT g.conv_id, g.bucket_ts, CAST(t.text_len_sum AS DOUBLE) AS v
+           |  FROM grid g LEFT JOIN t
+           |    ON t.conv_id = g.conv_id AND t.bucket_ts = g.bucket_ts),
+           |w AS (
+           |  SELECT conv_id, bucket_ts, v,
+           |    last_value(v IGNORE NULLS) OVER wb AS pv,
+           |    first_value(v IGNORE NULLS) OVER wf AS nv,
+           |    last_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+           |      OVER wb AS pt,
+           |    first_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+           |      OVER wf AS nt
+           |  FROM j
+           |  WINDOW
+           |    wb AS (PARTITION BY conv_id ORDER BY bucket_ts
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |    wf AS (PARTITION BY conv_id ORDER BY bucket_ts
+           |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           |SELECT conv_id, bucket_ts,
+           |  CASE WHEN v IS NOT NULL THEN v
+           |       ELSE pv + (nv - pv) *
+           |         (CAST(epoch(bucket_ts) AS DOUBLE) - CAST(epoch(pt) AS DOUBLE)) /
+           |         (CAST(epoch(nt) AS DOUBLE) - CAST(epoch(pt) AS DOUBLE)) END AS value,
+           |  (v IS NULL) AS filled
+           |FROM w""".stripMargin),
+      "q_chunk_roundtrip" -> withTurns(
+        s"""SELECT conv_id, bucket_ts, CAST(text_len_sum AS DOUBLE) AS text_len
+           |FROM (${Rollup.oracleSql(Tier.Minute)}) t""".stripMargin),
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |  sum(l_quantity) AS sum_qty,

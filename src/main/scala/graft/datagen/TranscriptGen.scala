@@ -153,7 +153,15 @@ object TranscriptGen {
       |  ts
       |FROM events""".stripMargin
 
-  /** Wrap a query body with the turns CTE for the DuckDB oracle. */
-  def withTurns(body: String): String =
-    s"WITH turns AS (\n$eventsToTurnsSql\n)\n$body"
+  /** Wrap a query body with the turns CTE for the DuckDB oracle.
+    * A body that starts with its own WITH clause is spliced into a
+    * single combined WITH (SQL allows only one per query level).
+    */
+  def withTurns(body: String): String = {
+    val trimmed = body.trim
+    if (trimmed.toUpperCase.startsWith("WITH "))
+      s"WITH turns AS (\n$eventsToTurnsSql\n),\n${trimmed.drop(5)}"
+    else
+      s"WITH turns AS (\n$eventsToTurnsSql\n)\n$trimmed"
+  }
 }

@@ -1,0 +1,218 @@
+package graft.rollup
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tier
+import graft.table.ChronoTable
+
+/** The batch-incremental ingest → rollup → retention pipeline over
+  * [[ChronoTable]]s (north_rule: "every batch is resumable from an
+  * Iceberg-snapshot checkpoint with per-partition lineage rows and
+  * rollup-count metrics emitted to a metrics table").
+  *
+  * Tables (under one warehouse root):
+  *   - `raw_turns`   partitioned `ts_day` / `conv_bucket` — the
+  *     miniature of Iceberg `days(ts)` + `bucket(N, conv_id)`.
+  *   - `tier_1m/1h/1d` partitioned `ts_day` (of the bucket).
+  *   - `metrics`     unpartitioned lineage + rollup-count rows.
+  *
+  * Exactly-once resume: each tier commit stamps the source-snapshot
+  * watermark it consumed into the snapshot summary (`consumed_src`),
+  * so watermark and data change atomically — a crash between commits
+  * re-runs only the uncommitted step and can never double-count
+  * (SURVEY.md §7 hard parts, "resumable exactly-once"). The 1m merge
+  * folds delta partials into existing buckets in one copy-on-write
+  * commit; 1h/1d recompute their affected day partitions from the
+  * full (already-merged) finer tier, which is idempotent by
+  * construction.
+  */
+final class TranscriptStore(
+    val spark: SparkSession,
+    val warehouse: String,
+    val convBuckets: Int = 8) {
+
+  val raw: ChronoTable =
+    ChronoTable(spark, s"$warehouse/raw_turns", Seq("ts_day", "conv_bucket"))
+  val tier1m: ChronoTable = ChronoTable(spark, s"$warehouse/tier_1m", Seq("ts_day"))
+  val tier1h: ChronoTable = ChronoTable(spark, s"$warehouse/tier_1h", Seq("ts_day"))
+  val tier1d: ChronoTable = ChronoTable(spark, s"$warehouse/tier_1d", Seq("ts_day"))
+  val metrics: ChronoTable = ChronoTable(spark, s"$warehouse/metrics", Seq.empty)
+
+  def tier(t: Tier): ChronoTable = t match {
+    case Tier.Minute => tier1m
+    case Tier.Hour => tier1h
+    case Tier.Day => tier1d
+  }
+
+  private val turnCols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  // ------------------------------------------------------------------
+  // ingest
+  // ------------------------------------------------------------------
+
+  /** Append one batch of turns; returns the raw snapshot id. */
+  def ingest(turns: DataFrame): Long = {
+    val partitioned = turns
+      .select(turnCols.map(col): _*)
+      .withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("conv_bucket", pmod(hash(col("conv_id")), lit(convBuckets)))
+    val sid = raw.append(partitioned, Map("op_detail" -> "ingest"))
+    logMetrics("ingest", "raw", sid,
+      partitioned.groupBy("ts_day").agg(
+        count(lit(1)).as("rows"), lit(0L).as("rollup_rows")))
+    sid
+  }
+
+  /** Read raw turns at the current snapshot with the stable
+    * (conv_id, turn_idx) ordering contract available to callers.
+    */
+  def readTurns(): DataFrame =
+    raw.read().select(turnCols.map(col): _*)
+
+  // ------------------------------------------------------------------
+  // incremental rollup cascade
+  // ------------------------------------------------------------------
+
+  private def consumedSrc(t: ChronoTable): Long =
+    t.currentSnapshot.flatMap(_.summary.get("consumed_src")).map(_.toLong).getOrElse(0L)
+
+  private def withDay(df: DataFrame): DataFrame =
+    df.withColumn("ts_day", date_format(col("bucket_ts"), "yyyy-MM-dd"))
+
+  private val tierCols = Seq("conv_id", "bucket_ts") ++ Rollup.metricCols
+
+  /** Run the incremental cascade; returns per-tier merged-row counts.
+    * No-op (returns empty) when every tier is already caught up.
+    * Safe to re-run after a crash at ANY point.
+    */
+  def rollupIncremental(): Map[String, Long] = {
+    var report = Map.empty[String, Long]
+
+    // --- raw → 1m: fold delta partials into existing buckets ---
+    val rawCur = raw.currentSnapshotId
+    val c1m = consumedSrc(tier1m)
+    if (c1m < rawCur) {
+      val inc = raw.readIncremental(c1m, rawCur)
+      if (!inc.isEmpty) {
+        val partials = Rollup.rollupRaw(inc, Tier.Minute)
+        val days = partials.select(date_format(col("bucket_ts"), "yyyy-MM-dd"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val existing = tier1m.read()
+        val base =
+          if (existing.isEmpty) partials
+          else existing
+            .filter(col("ts_day").isin(days.toSeq: _*))
+            .select(tierCols.map(col): _*)
+            .unionByName(partials)
+        val merged = withDay(Rollup.foldTier(base, Tier.Minute)).cache()
+        val mergedCnt = merged.count()
+        tier1m.overwritePartitions(
+          p => days.contains(p.getOrElse("ts_day", "")),
+          Some(merged), op = "merge",
+          summary = Map("consumed_src" -> rawCur.toString,
+            "affected_days" -> days.toSeq.sorted.mkString(",")))
+        logTierMetrics("rollup_1m", "tier_1m", tier1m.currentSnapshotId, merged)
+        merged.unpersist()
+        report += ("1m" -> mergedCnt)
+      } else {
+        // empty increment: just advance the watermark atomically
+        tier1m.overwritePartitions(_ => false, None, op = "noop",
+          summary = Map("consumed_src" -> rawCur.toString))
+      }
+    }
+
+    // --- finer tier → coarser tier: recompute affected day partitions ---
+    def foldStep(src: ChronoTable, dst: ChronoTable, to: Tier, label: String): Unit = {
+      val srcCur = src.currentSnapshotId
+      val cDst = consumedSrc(dst)
+      if (cDst < srcCur) {
+        val newFiles = src.readIncremental(cDst, srcCur)
+        if (!newFiles.isEmpty) {
+          val days = newFiles.select(col("ts_day").cast("string"))
+            .distinct().collect().map(_.getString(0)).toSet
+          // source partitions are fully merged → recompute, don't merge
+          val srcRows = src.read()
+            .filter(col("ts_day").isin(days.toSeq: _*))
+            .select(tierCols.map(col): _*)
+          val folded = withDay(Rollup.foldTier(srcRows, to)).cache()
+          val cnt = folded.count()
+          dst.overwritePartitions(
+            p => days.contains(p.getOrElse("ts_day", "")),
+            Some(folded), op = "merge",
+            summary = Map("consumed_src" -> srcCur.toString,
+              "affected_days" -> days.toSeq.sorted.mkString(",")))
+          logTierMetrics(s"rollup_$label", s"tier_$label", dst.currentSnapshotId, folded)
+          folded.unpersist()
+          report += (label -> cnt)
+        } else {
+          dst.overwritePartitions(_ => false, None, op = "noop",
+            summary = Map("consumed_src" -> srcCur.toString))
+        }
+      }
+    }
+
+    foldStep(tier1m, tier1h, Tier.Hour, "1h")
+    foldStep(tier1h, tier1d, Tier.Day, "1d")
+    report
+  }
+
+  /** Read a tier at its current snapshot (metric columns only). */
+  def readTier(t: Tier): DataFrame = {
+    val df = tier(t).read()
+    if (df.isEmpty) df else df.select(tierCols.map(col): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // retention
+  // ------------------------------------------------------------------
+
+  /** TTL retention relative to an explicit `today` (no wall-clock —
+    * determinism per FIXTURES.md). Raw keeps `ttlDays("raw")` days,
+    * tiers their own budgets; expired `ts_day` partitions are
+    * metadata-dropped.
+    */
+  def retain(ttlDays: Map[String, Int], today: LocalDate): Map[String, Long] = {
+    def drop(t: ChronoTable, name: String): Option[(String, Long)] =
+      ttlDays.get(name).map { ttl =>
+        val cutoff = today.minusDays(ttl.toLong).toString
+        val before = t.livePartitions.size
+        val sid = t.dropPartitions(
+          p => p.get("ts_day").exists(_ < cutoff),
+          summary = Map("cutoff" -> cutoff))
+        val after = t.livePartitions.size
+        logMetrics("retention", name, sid,
+          spark.createDataFrame(Seq((cutoff, (before - after).toLong, 0L)))
+            .toDF("ts_day", "rows", "rollup_rows"))
+        name -> (before - after).toLong
+      }
+    Seq(drop(raw, "raw"), drop(tier1m, "1m"), drop(tier1h, "1h"),
+      drop(tier1d, "1d")).flatten.toMap
+  }
+
+  // ------------------------------------------------------------------
+  // lineage + metrics
+  // ------------------------------------------------------------------
+
+  private def logTierMetrics(job: String, table: String, sid: Long, tierRows: DataFrame): Unit =
+    logMetrics(job, table, sid,
+      tierRows.groupBy("ts_day").agg(
+        count(lit(1)).as("rows"), sum("turn_cnt").as("rollup_rows")))
+
+  /** One lineage row per affected partition: (job, table, snapshot,
+    * partition day, row count, rolled-up turn count).
+    */
+  private def logMetrics(job: String, table: String, sid: Long, perDay: DataFrame): Unit = {
+    val rows = perDay.select(
+      lit(job).as("job"), lit(table).as("table_name"), lit(sid).as("snapshot_id"),
+      col("ts_day").cast("string").as("partition_day"),
+      col("rows").cast("long").as("row_cnt"),
+      col("rollup_rows").cast("long").as("rolled_turn_cnt"))
+    metrics.append(rows, Map("job" -> job))
+    ()
+  }
+
+  def readMetrics(): DataFrame = metrics.read()
+}

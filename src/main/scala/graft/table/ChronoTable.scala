@@ -1,0 +1,280 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A snapshot/manifest table layer with Iceberg mechanics at miniature
+  * scale (SURVEY.md §7): partitioned Parquet data files + an atomic
+  * JSON snapshot log giving
+  *
+  *   - snapshot isolation (readers pin a snapshot id),
+  *   - atomic commits (write-temp + `ATOMIC_MOVE` rename, both for the
+  *     batch data directory and the snapshot json, then the CURRENT
+  *     pointer),
+  *   - incremental scans between snapshot ids (the rollup job's
+  *     checkpoint watermark),
+  *   - partition-level retention deletes (metadata-only: a new
+  *     snapshot without the expired partitions' files — never
+  *     `rm -rf`, unlike the reference's `clear_output`,
+  *     /root/reference/jaeger_prometheus_joining/controlflow/
+  *     JoinManager.py:189-195),
+  *   - rollback (repoint CURRENT at an earlier snapshot),
+  *   - named consumer checkpoints.
+  *
+  * Physical layout under `root`:
+  * {{{
+  *   data/batch_id=<sid>/<p1>=<v>/.../part-*.parquet
+  *   snapshots/v<sid>.json
+  *   CURRENT                      // latest committed snapshot id
+  *   checkpoints/<name>.json      // consumer watermarks
+  * }}}
+  *
+  * `batch_id` is written as a partition-style directory so one
+  * `spark.read.option("basePath", data/)` over any file subset
+  * recovers both the user partition columns and the lineage column
+  * `batch_id` — per-row provenance for free.
+  *
+  * Single-writer per table is assumed (the driver's batch jobs are
+  * sequential); on a real cluster the same call sites bind to an
+  * `org.apache.iceberg.spark` catalog with the equivalent partition
+  * spec (`days(ts)`, `bucket(conv_id)`), which provides optimistic
+  * multi-writer commits.
+  */
+final class ChronoTable private (
+    val spark: SparkSession,
+    val root: String,
+    val partitionCols: Seq[String]) {
+
+  private val mapper = new ObjectMapper()
+  private def dataRoot = s"$root/data"
+  private def snapDir = Paths.get(root, "snapshots")
+  private def currentPtr = Paths.get(root, "CURRENT")
+
+  // ------------------------------------------------------------------
+  // snapshot log
+  // ------------------------------------------------------------------
+
+  /** One live data file. `partition` is the relative key=value path
+    * (excluding batch_id), e.g. "ts_day=2024-01-03/conv_bucket=2".
+    */
+  final case class FileEntry(path: String, partition: String, addedBy: Long)
+
+  final case class Snapshot(
+      id: Long,
+      parentId: Long,
+      op: String,
+      files: Seq[FileEntry],
+      summary: Map[String, String])
+
+  def currentSnapshotId: Long =
+    if (Files.exists(currentPtr)) Files.readString(currentPtr).trim.toLong else 0L
+
+  def snapshot(id: Long): Option[Snapshot] = {
+    val p = snapDir.resolve(s"v$id.json")
+    if (!Files.exists(p)) None
+    else {
+      val n = mapper.readTree(Files.readString(p))
+      val files = n.get("files").elements().asScala.map { f =>
+        FileEntry(f.get("path").asText, f.get("partition").asText,
+          f.get("addedBy").asLong)
+      }.toSeq
+      val summary = n.get("summary").fields().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap
+      Some(Snapshot(n.get("id").asLong, n.get("parentId").asLong,
+        n.get("op").asText, files, summary))
+    }
+  }
+
+  def currentSnapshot: Option[Snapshot] = {
+    val id = currentSnapshotId
+    if (id == 0) None else snapshot(id)
+  }
+
+  def snapshotIds: Seq[Long] =
+    if (!Files.exists(snapDir)) Seq.empty
+    else Files.list(snapDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+
+  private def writeSnapshot(s: Snapshot): Unit = {
+    Files.createDirectories(snapDir)
+    val node = mapper.createObjectNode()
+    node.put("id", s.id); node.put("parentId", s.parentId); node.put("op", s.op)
+    val arr = node.putArray("files")
+    s.files.foreach { f =>
+      val fn = arr.addObject()
+      fn.put("path", f.path); fn.put("partition", f.partition)
+      fn.put("addedBy", f.addedBy)
+    }
+    val sm = node.putObject("summary")
+    s.summary.foreach { case (k, v) => sm.put(k, v) }
+    atomicWrite(snapDir.resolve(s"v${s.id}.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    atomicWrite(currentPtr, s.id.toString)
+  }
+
+  private def atomicWrite(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ------------------------------------------------------------------
+  // commits
+  // ------------------------------------------------------------------
+
+  /** Stage `df` under `_tmp` and atomically rename the batch dir into
+    * `data/`. If a previous crashed attempt left an orphaned
+    * `batch_id=<sid>` dir (rename done, snapshot json never
+    * committed — so nothing references it), it is removed first.
+    */
+  private def stageBatch(df: DataFrame, sid: Long): Seq[FileEntry] = {
+    val staging = Paths.get(root, "_tmp", s"batch_id=$sid")
+    Files.createDirectories(staging.getParent)
+    deleteRecursively(staging)
+    val writer = if (partitionCols.nonEmpty)
+      df.write.partitionBy(partitionCols: _*) else df.write
+    writer.mode("overwrite").parquet(staging.toString)
+    val target = Paths.get(dataRoot, s"batch_id=$sid")
+    Files.createDirectories(target.getParent)
+    deleteRecursively(target) // orphan from a crashed commit of this sid
+    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    listParquet(target).map { p =>
+      val rel = target.relativize(p).toString
+      val partition = Option(Paths.get(rel).getParent).map(_.toString).getOrElse("")
+      FileEntry(s"batch_id=$sid/$rel", partition, sid)
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) Files.delete(it.next())
+    }
+
+  /** Append `df` as a new snapshot; returns the snapshot id. A crash
+    * at any point leaves the table readable at its previous snapshot.
+    */
+  def append(df: DataFrame, summary: Map[String, String] = Map.empty): Long = {
+    val sid = currentSnapshotId + 1
+    val added = stageBatch(df, sid)
+    val prev = currentSnapshot.map(_.files).getOrElse(Seq.empty)
+    writeSnapshot(Snapshot(sid, sid - 1, "append", prev ++ added,
+      summary + ("added_files" -> added.size.toString)))
+    sid
+  }
+
+  /** Copy-on-write overwrite of the partitions matching `drop`:
+    * removes their files from the live set and appends `replacement`
+    * (may be empty) in ONE commit — the MERGE primitive of the tier
+    * tables.
+    */
+  def overwritePartitions(
+      drop: Map[String, String] => Boolean,
+      replacement: Option[DataFrame],
+      op: String = "overwrite",
+      summary: Map[String, String] = Map.empty): Long = {
+    val sid = currentSnapshotId + 1
+    val prev = currentSnapshot.map(_.files).getOrElse(Seq.empty)
+    val (dropped, kept) = prev.partition(f => drop(parsePartition(f.partition)))
+    val added: Seq[FileEntry] = replacement match {
+      case Some(df) => stageBatch(df, sid)
+      case None => Seq.empty
+    }
+    writeSnapshot(Snapshot(sid, sid - 1, op, kept ++ added,
+      summary ++ Map("dropped_files" -> dropped.size.toString,
+        "added_files" -> added.size.toString)))
+    sid
+  }
+
+  /** Retention: metadata-drop every partition whose values satisfy
+    * `expired`. Data files stay on disk until vacuum (not implemented:
+    * snapshots may still reference them).
+    */
+  def dropPartitions(expired: Map[String, String] => Boolean,
+      summary: Map[String, String] = Map.empty): Long =
+    overwritePartitions(expired, None, op = "retention-drop", summary = summary)
+
+  /** Repoint CURRENT at an earlier snapshot (time travel / rollback). */
+  def rollback(toSnapshotId: Long): Unit = {
+    require(snapshot(toSnapshotId).isDefined, s"no snapshot $toSnapshotId")
+    atomicWrite(currentPtr, toSnapshotId.toString)
+  }
+
+  // ------------------------------------------------------------------
+  // reads
+  // ------------------------------------------------------------------
+
+  private def listParquet(dir: Path): Seq[Path] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+
+  def parsePartition(partition: String): Map[String, String] =
+    partition.split('/').filter(_.nonEmpty).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+
+  private def readFiles(files: Seq[FileEntry]): DataFrame =
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read
+      .option("basePath", dataRoot)
+      .parquet(files.map(f => s"$dataRoot/${f.path}"): _*)
+
+  /** Read the table at `snapshotId` (default: current). Includes the
+    * lineage column `batch_id`.
+    */
+  def read(snapshotId: Long = currentSnapshotId): DataFrame =
+    readFiles(snapshot(snapshotId).map(_.files).getOrElse(Seq.empty))
+
+  /** Incremental scan: rows added by snapshots in (`afterSnapshotId`,
+    * `untilSnapshotId`]. This is the rollup checkpoint watermark —
+    * snapshot-id is the streaming analog per SURVEY.md §2.8.
+    */
+  def readIncremental(afterSnapshotId: Long,
+      untilSnapshotId: Long = currentSnapshotId): DataFrame = {
+    val files = snapshot(untilSnapshotId).map(_.files).getOrElse(Seq.empty)
+      .filter(f => f.addedBy > afterSnapshotId && f.addedBy <= untilSnapshotId)
+    readFiles(files)
+  }
+
+  /** Live partitions (as parsed key→value maps) at the current snapshot. */
+  def livePartitions: Seq[Map[String, String]] =
+    currentSnapshot.map(_.files).getOrElse(Seq.empty)
+      .map(f => parsePartition(f.partition)).distinct
+
+  // ------------------------------------------------------------------
+  // consumer checkpoints
+  // ------------------------------------------------------------------
+
+  private def ckptPath(name: String) = Paths.get(root, "checkpoints", s"$name.json")
+
+  def checkpoint(name: String): Long = {
+    val p = ckptPath(name)
+    if (!Files.exists(p)) 0L
+    else mapper.readTree(Files.readString(p)).get("lastSnapshotId").asLong
+  }
+
+  def setCheckpoint(name: String, lastSnapshotId: Long): Unit = {
+    Files.createDirectories(ckptPath(name).getParent)
+    atomicWrite(ckptPath(name), s"""{"lastSnapshotId": $lastSnapshotId}""")
+  }
+}
+
+object ChronoTable {
+  /** Open (or initialize) a table rooted at `root`. */
+  def apply(spark: SparkSession, root: String, partitionCols: Seq[String]): ChronoTable = {
+    Files.createDirectories(Paths.get(root))
+    new ChronoTable(spark, root, partitionCols)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+
+import graft.SparkSuite
+import graft.datagen.TranscriptGen
+import graft.model.{Tier, TierRow}
+import graft.rollup.{Rollup, TranscriptStore}
+
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpWarehouse(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft-$tag-")
+    p.toString
+  }
+
+  private def tierRows(df: org.apache.spark.sql.DataFrame): Seq[TierRow] =
+    df.as[TierRow].collect().toSeq.sortBy(r => (r.conv_id, r.bucket_ts.getTime))
+
+  test("ingest → rollup produces tiers equal to a direct raw cascade") {
+    val store = new TranscriptStore(spark, tmpWarehouse("e2e"), convBuckets = 4)
+    val turns = TranscriptGen.generate(spark, 30, 25, seed = 5L).toDF().cache()
+    store.ingest(turns)
+    val report = store.rollupIncremental()
+    assert(report.keySet == Set("1m", "1h", "1d"))
+    Tier.cascade.foreach { t =>
+      val got = tierRows(store.readTier(t))
+      val want = tierRows(Rollup.rollupRaw(turns, t))
+      assert(got == want, s"tier ${t.name} mismatch")
+    }
+    // per-turn text equality under stable (conv_id, turn_idx) order
+    val back = store.readTurns().orderBy("conv_id", "turn_idx")
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect()
+    val orig = turns.orderBy("conv_id", "turn_idx")
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect()
+    assert(back.sameElements(orig))
+    turns.unpersist()
+  }
+
+  test("second batch merges into existing buckets; equals one-shot cascade") {
+    val store = new TranscriptStore(spark, tmpWarehouse("inc"), convBuckets = 4)
+    val all = TranscriptGen.generate(spark, 24, 25, seed = 9L).toDF().cache()
+    val b1 = all.filter("pmod(turn_idx, 2) = 0")
+    val b2 = all.filter("pmod(turn_idx, 2) = 1")
+    store.ingest(b1)
+    store.rollupIncremental()
+    store.ingest(b2)
+    store.rollupIncremental()
+    Tier.cascade.foreach { t =>
+      assert(tierRows(store.readTier(t)) == tierRows(Rollup.rollupRaw(all, t)),
+        s"incremental merge broke tier ${t.name}")
+    }
+    all.unpersist()
+  }
+
+  test("rollup is a no-op when caught up (idempotent re-run)") {
+    val store = new TranscriptStore(spark, tmpWarehouse("noop"), convBuckets = 2)
+    store.ingest(TranscriptGen.generate(spark, 8, 10, seed = 3L).toDF())
+    assert(store.rollupIncremental().nonEmpty)
+    val before = tierRows(store.readTier(Tier.Minute))
+    assert(store.rollupIncremental().isEmpty)
+    assert(tierRows(store.readTier(Tier.Minute)) == before)
+  }
+
+  test("resume: crash between 1m and 1h commits re-runs without double counting") {
+    val wh = tmpWarehouse("resume")
+    val store = new TranscriptStore(spark, wh, convBuckets = 2)
+    val turns = TranscriptGen.generate(spark, 12, 15, seed = 21L).toDF().cache()
+    store.ingest(turns)
+    store.rollupIncremental()
+    // second batch; simulate crash AFTER the 1m merge commit by rolling
+    // the 1h/1d tables back is not possible (they committed too), so
+    // instead: ingest, run ONLY the 1m step by rolling 1h/1d back after
+    // a full run — their next run must recompute from 1m idempotently.
+    val b2 = TranscriptGen.generate(spark, 12, 15, seed = 22L).toDF().cache()
+    store.ingest(b2)
+    store.rollupIncremental()
+    val h1Snap = store.tier1h.currentSnapshotId
+    val d1Snap = store.tier1d.currentSnapshotId
+    // "crash": lose the 1h/1d commits (rollback = CURRENT repoint)
+    store.tier1h.rollback(h1Snap - 1)
+    store.tier1d.rollback(d1Snap - 1)
+    // re-run from checkpoint: only 1h/1d steps fire, results identical
+    val report = store.rollupIncremental()
+    assert(report.keySet == Set("1h", "1d"), s"unexpected steps: $report")
+    val combined = turns.unionByName(b2)
+    Tier.cascade.foreach { t =>
+      assert(tierRows(store.readTier(t)) == tierRows(Rollup.rollupRaw(combined, t)),
+        s"resume broke tier ${t.name}")
+    }
+    turns.unpersist(); b2.unpersist()
+  }
+
+  test("retention drops expired day partitions, keeps survivors byte-identical") {
+    val store = new TranscriptStore(spark, tmpWarehouse("ttl"), convBuckets = 2)
+    val day1 = TranscriptGen.generate(spark, 20, 40, seed = 31L).toDF()
+    // guarantee a multi-day table: same conversations continue 3 days later
+    val day4 = day1
+      .withColumn("ts", org.apache.spark.sql.functions.expr("ts + INTERVAL 3 DAYS"))
+      .withColumn("turn_idx", $"turn_idx" + org.apache.spark.sql.functions.lit(10000))
+    val turns = day1.unionByName(day4).cache()
+    store.ingest(turns)
+    store.rollupIncremental()
+    val allDays = store.tier1m.livePartitions.flatMap(_.get("ts_day")).distinct.sorted
+    assert(allDays.size >= 2, s"fixture spans too few days: $allDays")
+    val cutoffDay = allDays.last // keep only the last day in 1m
+    val today = LocalDate.parse(cutoffDay)
+    val survivorsBefore = tierRows(
+      store.readTier(Tier.Minute).filter($"bucket_ts" >= lit(cutoffDay)))
+    store.retain(Map("1m" -> 0), today)
+    val after = store.tier1m.livePartitions.flatMap(_.get("ts_day")).distinct
+    assert(after.forall(_ >= cutoffDay), s"expired partitions survived: $after")
+    val survivorsAfter = tierRows(store.readTier(Tier.Minute))
+    assert(survivorsAfter == survivorsBefore)
+    // other tiers untouched
+    assert(tierRows(store.readTier(Tier.Day)) ==
+      tierRows(Rollup.rollupRaw(turns, Tier.Day)))
+    turns.unpersist()
+  }
+
+  test("snapshot isolation: reader pinned to an old snapshot sees old data; rollback works") {
+    val wh = tmpWarehouse("snap")
+    val t = ChronoTable(spark, s"$wh/t", Seq("ts_day"))
+    val df1 = Seq(("a", "2024-01-01"), ("b", "2024-01-02")).toDF("k", "ts_day")
+    val df2 = Seq(("c", "2024-01-03")).toDF("k", "ts_day")
+    val s1 = t.append(df1)
+    val s2 = t.append(df2)
+    assert(t.read(s1).count() == 2)
+    assert(t.read(s2).count() == 3)
+    assert(t.readIncremental(s1, s2).select("k").as[String].collect().toSet == Set("c"))
+    t.rollback(s1)
+    assert(t.read().count() == 2)
+    assert(t.currentSnapshotId == s1)
+  }
+
+  test("lineage metrics: per-partition rows for every job") {
+    val store = new TranscriptStore(spark, tmpWarehouse("metrics"), convBuckets = 2)
+    store.ingest(TranscriptGen.generate(spark, 6, 10, seed = 41L).toDF())
+    store.rollupIncremental()
+    val m = store.readMetrics()
+    val jobs = m.select("job").distinct().as[String].collect().toSet
+    assert(jobs == Set("ingest", "rollup_1m", "rollup_1h", "rollup_1d"), jobs.toString)
+    // every metrics row carries a partition day and non-negative counts
+    assert(m.filter($"partition_day".isNull || $"row_cnt" < 0).count() == 0)
+    // rolled turn counts are conserved across tiers
+    val perTier = m.filter($"job".startsWith("rollup"))
+      .groupBy("job").sum("rolled_turn_cnt")
+      .as[(String, Long)].collect().toMap
+    assert(perTier.values.toSet.size == 1, s"turn counts not conserved: $perTier")
+  }
+
+  private def lit(s: String) = org.apache.spark.sql.functions.lit(s)
+}
