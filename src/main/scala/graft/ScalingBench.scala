@@ -19,11 +19,17 @@ import graft.rollup.Rollup
   */
 object ScalingBench {
 
-  private def session(cores: Int): SparkSession = {
+  /** Both parallelism levels get the SAME shuffle-partition count so
+    * only core count varies — otherwise the low-core run also gets
+    * bigger (spill-prone) partitions and the comparison conflates
+    * partition sizing with parallelism (observed: 8-partition
+    * shuffles of ~4M rows spill and fake super-linear scaling).
+    */
+  private def session(cores: Int, shufflePartitions: Int = 64): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -51,11 +57,13 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val nConvs = if (args.length > 0) args(0).toLong else 4000L
     val avgTurns = if (args.length > 1) args(1).toInt else 500
+    val maxDeltaSecs = if (args.length > 2) args(2).toInt else 15
 
     // materialize one deterministic input to parquet; both runs read it
     val input = Files.createTempDirectory("graft-scaling-").toString + "/turns"
     val gen = session(16)
-    TranscriptGen.generate(gen, nConvs, avgTurns, seed = 42L, hotShare = 0.1)
+    TranscriptGen.generate(gen, nConvs, avgTurns, seed = 42L, hotShare = 0.1,
+        maxDeltaSecs = maxDeltaSecs, partitions = 128)
       .toDF().write.mode("overwrite").parquet(input)
     val nTurns = gen.read.parquet(input).count()
     gen.stop()
@@ -63,9 +71,9 @@ object ScalingBench {
     def measure(cores: Int): Double = {
       val s = session(cores)
       cascadeSecs(s, input) // warm-up: JIT + codegen + parquet footer cache
-      val (secs, _) = cascadeSecs(s, input)
+      val runs = (1 to 3).map(_ => cascadeSecs(s, input)._1)
       s.stop()
-      secs
+      runs.min // best-of-3: least scheduler/GC noise
     }
 
     val t8 = measure(8)
@@ -92,8 +100,10 @@ object ScalingBench {
          |${f"$eff%.3f"} (target ≥ 0.8 per BASELINE.json).
          |
          |Method: input materialized once; per level, one warm-up
-         |cascade (JIT/codegen) then one measured cascade; `count()`
-         |actions force execution without sink I/O.
+         |cascade (JIT/codegen) then best-of-3 measured cascades;
+         |`count()` actions force execution without sink I/O; both
+         |levels use identical shuffle-partition counts (64) so only
+         |core count varies.
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)

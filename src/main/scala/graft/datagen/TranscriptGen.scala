@@ -75,6 +75,11 @@ object TranscriptGen {
     *                 0 disables the hot conversation
     * @param gapEvery insert a multi-bucket time gap every N turns (for
     *                 gap-fill tests); 0 disables
+    * @param maxDeltaSecs upper bound on the seeded inter-turn delta; the
+    *                 default (120) gives ~1 turn/minute (sparse series);
+    *                 small values give dense buckets where map-side
+    *                 partial aggregation actually combines
+    * @param partitions number of generator tasks (parallel write width)
     */
   def generate(
       spark: SparkSession,
@@ -82,14 +87,17 @@ object TranscriptGen {
       avgTurns: Int = 40,
       seed: Long = 42L,
       hotShare: Double = 0.0,
-      gapEvery: Int = 0): Dataset[Turn] = {
+      gapEvery: Int = 0,
+      maxDeltaSecs: Int = 120,
+      partitions: Int = 64): Dataset[Turn] = {
     import spark.implicits._
     val nC = nConvs
     val avg = avgTurns
     val sd = seed
     val hs = hotShare
     val ge = gapEvery
-    spark.range(0, nC, 1, math.min(nC, 64L).toInt).as[Long].flatMap { ci =>
+    val maxD = maxDeltaSecs
+    spark.range(0, nC, 1, math.min(nC, partitions.toLong).toInt).as[Long].flatMap { ci =>
       val rng = new scala.util.Random(mix(sd, ci))
       val n = turnsFor(ci, nC, avg, hs)
       val convId = f"conv-$ci%06d"
@@ -100,7 +108,7 @@ object TranscriptGen {
         val text = (0 until nWords).map(_ => words(rng.nextInt(words.length))).mkString(" ")
         val tool = if (role == "tool") Some(tools(rng.nextInt(tools.length))) else None
         // monotone non-decreasing within conversation, seconds..minutes apart
-        val delta = (5 + rng.nextInt(120)).toLong * 1000000L
+        val delta = (5 + rng.nextInt(maxD)).toLong * 1000000L
         val gap = if (ge > 0 && ti > 0 && ti % ge == 0)
           (5L + rng.nextInt(10)) * 60L * 1000000L else 0L
         tsMicros += delta + gap

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-groupBy), drop-all-duplicates (the reference's
+  * `unique(keep='none')`, /root/reference/jaeger_prometheus_joining/
+  * transformationscripts/FileConcat.py:22), MinHash+LSH and SimHash
+  * near-dup, and exact n-gram Jaccard verification.
+  *
+  * Scale design: every operator is a shuffle-on-key plan — no
+  * driver-side collection anywhere. MinHash signatures are computed
+  * in ONE pass over exploded shingles (k min-aggregates, map-side
+  * combined); LSH candidate generation is an equi self-join on
+  * (band_idx, band_hash) — the classic banding trick, so the join
+  * key cardinality (not O(n²) pairs) bounds the shuffle. At 100 TB,
+  * band tables are orders of magnitude smaller than a cross join and
+  * AQE handles residual bucket skew.
+  */
+object Dedup {
+
+  /** Exact dedup, keep-first pinned by an explicit order column —
+    * never an unpinned dropDuplicates (SURVEY.md §7 hard parts:
+    * nondeterministic keep-first is a bug, not a semantics).
+    */
+  def exactKeepFirst(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Reference A8 semantics: remove EVERY member of any duplicated
+    * group (keep='none'), not keep-one.
+    */
+  def dropAllDuplicates(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    df.withColumn("_cnt", count(lit(1)).over(w))
+      .filter(col("_cnt") === 1)
+      .drop("_cnt")
+  }
+
+  /** Character n-gram shingles, one row per (id, shingle), distinct.
+    * Pure HOF projection (sequence + transform + explode) — codegen'd,
+    * no UDF.
+    */
+  def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+        explode(transform(
+          sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+          i => col(textCol).substr(i, lit(n)))).as("shingle"))
+      .distinct()
+
+  /** MinHash signature: for each id, k minima of seeded murmur3 over
+    * its shingle set — one grouped pass, k min-aggregates.
+    */
+  def minHashSignatures(shingles: DataFrame, idCol: String, k: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(hash(col("shingle"), lit(i))).as(s"mh_$i"))
+    shingles.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: split the k-wide signature into `bands` bands of
+    * k/bands rows each; band key = hash of the band's minhashes.
+    * Returns (id, band_idx, band_hash).
+    */
+  def lshBands(signatures: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
+      signatures.select(col(idCol), lit(b).as("band_idx"),
+        hash(cols: _*).as("band_hash"))
+    }
+    bandRows.reduce(_ unionByName _)
+  }
+
+  /** Candidate pairs: ids sharing ≥1 LSH band. Self equi-join on the
+    * band key; id1 < id2 halves the pairs; distinct dedups multi-band
+    * hits.
+    */
+  def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band_idx"), col("band_hash"), col(idCol).as("id1"))
+    val b = bandsDf.select(col("band_idx"), col("band_hash"), col(idCol).as("id2"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact n-gram Jaccard for a pair table: returns integral
+    * (intersection, union) sizes so downstream thresholds stay exact.
+    * The shingle join is key-partitioned; candidates (from LSH) keep
+    * it linear-ish instead of all-pairs.
+    */
+  def jaccardCounts(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
+    val s1 = shingles.select(col(idCol).as("id1"), col("shingle"))
+    val s2 = shingles.select(col(idCol).as("id2"), col("shingle"))
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(s1, "id1").join(s2, Seq("id2", "shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter_sz"))
+    pairs
+      .join(inter, Seq("id1", "id2"), "left")
+      .na.fill(0L, Seq("inter_sz"))
+      .join(sizes.withColumnRenamed("sz", "sz1").withColumnRenamed(idCol, "id1"), "id1")
+      .join(sizes.withColumnRenamed("sz", "sz2").withColumnRenamed(idCol, "id2"), "id2")
+      .select(col("id1"), col("id2"), col("inter_sz"),
+        (col("sz1") + col("sz2") - col("inter_sz")).as("union_sz"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint
+    * is the sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
+    * Computed as 64 conditional sums in one grouped pass, packed with
+    * a fold — no UDF, fully codegen'd.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"bs_$b")
+    }
+    val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+      acc.bitwiseOR(
+        when(col(s"bs_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+    }
+    summed.select(col(idCol), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two packed 64-bit simhashes. */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -20,8 +20,8 @@ class EntrySpec extends SparkSuite {
   test("every query has an oracle or a documented omission") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // non-SQL-expressible ops may be omitted; keep the list explicit
-    val allowedOmissions = Set.empty[String]
-    assert(missing == allowedOmissions, s"queries missing oracle SQL: $missing")
+    assert(missing == SparkEntry.oracleOmissions,
+      s"queries missing oracle SQL: $missing vs declared ${SparkEntry.oracleOmissions}")
   }
 
   test("oracle keys all refer to real queries") {

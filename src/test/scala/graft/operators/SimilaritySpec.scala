@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("brute-force cosine top-k matches a driver-local computation") {
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val got = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val sample = vecs.keys.toSeq.sorted.take(20)
+    sample.foreach { q =>
+      val want = vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1)
+      assert(got(q) == want, s"qid $q: ${got(q)} != $want")
+    }
+  }
+
+  test("every top-k result row is a genuine k-nearest (rank values dense 1..k)") {
+    val rows = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 4)
+      .as[(Long, Long, Long)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.values.forall(_.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L)))
+    assert(byQ.size == emb.count())
+  }
+
+  test("LSH ANN recall beats random-candidate baseline at bounded candidate cost") {
+    // random isotropic embeddings are LSH's worst case (all cosines
+    // near 0) — assert the mechanism beats chance by a wide margin,
+    // not a production recall bar
+    val n = emb.count().toDouble
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+        k = 5, planes = 4, rotations = 8)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      approx.get(q).map(_.intersect(exact(q)).size / 5.0).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // chance level: examining c candidates at random gives c/n recall;
+    // 4 planes × 8 rotations examines ≈ 8·n/16 pairs ⇒ chance ≈ 0.5?
+    // no: per-query candidates ≈ 8 rotations × n/2^4 ≈ n/2 — so
+    // require clearly above that baseline
+    assert(mean >= 0.6, s"mean ANN recall too low vs candidate volume: $mean")
+  }
+
+  test("deterministic: same plan twice gives identical rows") {
+    val a = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+}
