@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ParallelGC: measured 17.5s -> 1.2s total GC on 32-thread
+  // high-cardinality aggregates vs default G1 on large heaps
+  "-XX:+UseParallelGC",
 )

@@ -93,6 +93,99 @@ object SparkEntry {
           max(col("l_extendedprice")).as("max_price"))
     }),
 
+    // --- align-join (J1): tier 1m left-joined with a second feed on
+    // (conv, bucket) — the reference's traces⋈metrics cascade as ONE
+    // equi join on the rounded time key ---
+    "q_align_join" -> ((s, dir) => {
+      val m1 = Rollup.rollupRaw(turns(s, dir), Tier.Minute)
+      val purchases = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .groupBy(
+          concat(lit("conv-"), lpad(col("user_id").cast("string"), 6, "0")).as("conv_id"),
+          Rollup.bucket(col("ts"), Tier.Minute).as("bucket_ts"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("purchase_cents"))
+      m1.join(purchases, Seq("conv_id", "bucket_ts"), "left")
+        .select(col("conv_id"), col("bucket_ts"), col("turn_cnt"),
+          col("purchase_cents"))
+    }),
+
+    // --- pivot (U3): fixed-vocabulary role pivot per (conv, day).
+    // Explicit value list keeps the pivot a single pass (no extra
+    // distinct-values job) — mandatory at scale ---
+    "q_role_pivot" -> ((s, dir) =>
+      turns(s, dir)
+        .groupBy(col("conv_id"), Rollup.bucket(col("ts"), Tier.Day).as("bucket_ts"))
+        .pivot("role", Seq("user", "assistant", "tool")).count()
+        .na.fill(0L, Seq("user", "assistant", "tool"))
+        .select(col("conv_id"), col("bucket_ts"),
+          col("user").as("user_cnt"), col("assistant").as("assistant_cnt"),
+          col("tool").as("tool_cnt"))),
+
+    // --- window lag (W): inter-turn gap in micros per conversation ---
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      turns(s, dir).select(col("conv_id"), col("turn_idx"),
+        (unix_micros(col("ts").cast("timestamp")) -
+          lag(unix_micros(col("ts").cast("timestamp")), 1).over(w)).as("gap_us"))
+    }),
+
+    // --- as-of lookup: most recent prior user-turn ts for tool turns
+    // (the reference wished for an as-of join, insights-experience.md:5;
+    // at fixed order a frame-bounded window is cheaper) ---
+    "q_asof_prev_user" -> ((s, dir) => {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      turns(s, dir)
+        .withColumn("prev_user_ts",
+          last(when(col("role") === "user", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("role") === "tool")
+        .select(col("conv_id"), col("turn_idx"), col("prev_user_ts"))
+    }),
+
+    // --- sessionization: 30-min-gap session split + per-session agg ---
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      val flagged = turns(s, dir).withColumn("new_session",
+        when(unix_micros(col("ts").cast("timestamp")) -
+          lag(unix_micros(col("ts").cast("timestamp")), 1).over(w) > 1800000000L, 1L)
+          .otherwise(lit(0L)))
+      flagged
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("conv_id"), col("session_id"))
+        .agg(count(lit(1)).as("turn_cnt"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+    }),
+
+    // --- collect + ordered string-join (A3, determinism pinned) ---
+    "q_collect_tools" -> ((s, dir) =>
+      turns(s, dir)
+        .groupBy(col("conv_id"), Rollup.bucket(col("ts"), Tier.Day).as("bucket_ts"))
+        .agg(array_join(sort_array(collect_list(col("tool"))), " - ").as("tools_joined"))),
+
+    // --- posexplode tokenization (P7 generator family) ---
+    "q_tokenize" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))),
+
+    // --- broadcast dim join chain (S4 scaled up: star-schema rollup) ---
+    "q_region_rollup" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val nation = broadcast(s.read.parquet(s"$dir/nation.parquet"))
+      val region = broadcast(s.read.parquet(s"$dir/region.parquet"))
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+    }),
+
     // ================= training-data pipeline operators =================
 
     // --- text analysis: token/quality stats + codegen'd fingerprint ---
@@ -248,6 +341,68 @@ object SparkEntry {
           |  min(l_extendedprice) AS min_price,
           |  max(l_extendedprice) AS max_price
           |FROM lineitem GROUP BY 1, 2""".stripMargin,
+      "q_align_join" -> withTurns(
+        s"""WITH t AS (${Rollup.oracleSql(Tier.Minute)}),
+           |p AS (
+           |  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+           |    date_trunc('minute', ts) AS bucket_ts,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+           |SELECT t.conv_id, t.bucket_ts, t.turn_cnt, p.purchase_cents
+           |FROM t LEFT JOIN p
+           |  ON p.conv_id = t.conv_id AND p.bucket_ts = t.bucket_ts""".stripMargin),
+      "q_role_pivot" -> withTurns(
+        """SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+          |  count(CASE WHEN role = 'user' THEN 1 END) AS user_cnt,
+          |  count(CASE WHEN role = 'assistant' THEN 1 END) AS assistant_cnt,
+          |  count(CASE WHEN role = 'tool' THEN 1 END) AS tool_cnt
+          |FROM turns GROUP BY 1, 2""".stripMargin),
+      "q_window_lag" -> withTurns(
+        """SELECT conv_id, turn_idx,
+          |  CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER
+          |    (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS gap_us
+          |FROM turns""".stripMargin),
+      "q_asof_prev_user" -> withTurns(
+        """SELECT conv_id, turn_idx, prev_user_ts FROM (
+          |  SELECT conv_id, turn_idx, role,
+          |    last_value(CASE WHEN role = 'user' THEN ts END IGNORE NULLS) OVER
+          |      (PARTITION BY conv_id ORDER BY turn_idx
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_user_ts
+          |  FROM turns) WHERE role = 'tool'""".stripMargin),
+      "q_sessionize" -> withTurns(
+        """WITH g AS (
+          |  SELECT conv_id, turn_idx, ts,
+          |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+          |      (PARTITION BY conv_id ORDER BY turn_idx) > 1800000000
+          |      THEN 1 ELSE 0 END AS new_session
+          |  FROM turns),
+          |s AS (
+          |  SELECT conv_id, ts,
+          |    CAST(sum(new_session) OVER (PARTITION BY conv_id ORDER BY turn_idx
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |      AS session_id
+          |  FROM g)
+          |SELECT conv_id, session_id, count(*) AS turn_cnt,
+          |  min(ts) AS session_start, max(ts) AS session_end
+          |FROM s GROUP BY 1, 2""".stripMargin),
+      "q_collect_tools" -> withTurns(
+        """SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+          |  coalesce(string_agg(tool, ' - ' ORDER BY tool), '') AS tools_joined
+          |FROM turns GROUP BY 1, 2""".stripMargin),
+      "q_tokenize" ->
+        """SELECT doc_id,
+          |  CAST(unnest(generate_series(1, len(l))) - 1 AS BIGINT) AS pos,
+          |  unnest(l) AS token
+          |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+          |      FROM documents)""".stripMargin,
+      "q_region_rollup" ->
+        """SELECT r_name, count(*) AS order_cnt,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY 1""".stripMargin,
       "q_text_stats" ->
         """SELECT doc_id,
           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -215,4 +215,16 @@ final class TranscriptStore(
   }
 
   def readMetrics(): DataFrame = metrics.read()
+
+  /** Publish the current tier snapshots as plain-parquet serving
+    * directories (`<warehouse>/serve/tier_*`) for consumers that read
+    * bare parquet — notably the TierRouting optimizer rule. Kept
+    * OUTSIDE the ChronoTable roots so a publish never clobbers the
+    * snapshot log it reads from.
+    */
+  def publishServing(): Unit =
+    graft.model.Tier.cascade.foreach { t =>
+      readTier(t).write.mode("overwrite")
+        .parquet(s"$warehouse/serve/tier_${t.name}")
+    }
 }

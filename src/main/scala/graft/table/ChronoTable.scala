@@ -96,11 +96,15 @@ final class ChronoTable private (
 
   def snapshotIds: Seq[Long] =
     if (!Files.exists(snapDir)) Seq.empty
-    else Files.list(snapDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
+    else {
+      val stream = Files.list(snapDir)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toLong }
+        .toSeq.sorted
+      finally stream.close()
+    }
 
   private def writeSnapshot(s: Snapshot): Unit = {
     Files.createDirectories(snapDir)
@@ -155,8 +159,11 @@ final class ChronoTable private (
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder()).iterator()
-      while (it.hasNext) Files.delete(it.next())
+      val stream = Files.walk(p)
+      try {
+        val it = stream.sorted(java.util.Comparator.reverseOrder()).iterator()
+        while (it.hasNext) Files.delete(it.next())
+      } finally stream.close()
     }
 
   /** Append `df` as a new snapshot; returns the snapshot id. A crash
@@ -212,10 +219,13 @@ final class ChronoTable private (
   // reads
   // ------------------------------------------------------------------
 
-  private def listParquet(dir: Path): Seq[Path] =
-    Files.walk(dir).iterator().asScala
+  private def listParquet(dir: Path): Seq[Path] = {
+    val stream = Files.walk(dir)
+    try stream.iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
+    finally stream.close()
+  }
 
   def parsePartition(partition: String): Map[String, String] =
     partition.split('/').filter(_.nonEmpty).flatMap { seg =>

@@ -1,0 +1,49 @@
+package graft.app
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.datagen.TranscriptGen
+import graft.model.Tier
+import graft.rollup.{Rollup, TranscriptStore}
+import graft.streaming.StreamingRollup
+
+class AppSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming foreachBatch path equals the batch cascade") {
+    val wh = Files.createTempDirectory("graft-stream-").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val srcDir = Files.createTempDirectory("graft-src-").toString
+    val turns = TranscriptGen.generate(spark, 10, 20, seed = 51L).toDF().cache()
+    // two file drops — two micro-batches under AvailableNow
+    turns.filter($"turn_idx" % 2 === 0).write.parquet(s"$srcDir/drop1")
+    turns.filter($"turn_idx" % 2 === 1).write.parquet(s"$srcDir/drop2")
+
+    val store = new TranscriptStore(spark, wh, convBuckets = 2)
+    val stream = spark.readStream
+      .schema(graft.model.Schemas.turns)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(s"$srcDir/drop*")
+    StreamingRollup.runOnce(stream, store, ckpt)
+
+    Tier.cascade.foreach { t =>
+      val got = store.readTier(t).as[graft.model.TierRow].collect().toSet
+      val want = Rollup.rollupRaw(turns, t).as[graft.model.TierRow].collect().toSet
+      assert(got == want, s"streaming tier ${t.name} != batch")
+    }
+    turns.unpersist()
+  }
+
+  test("GraftApp subcommands run end-to-end on a temp warehouse") {
+    val wh = Files.createTempDirectory("graft-app-").toString
+    // gen → rollup → status → retain; run() must not throw
+    GraftApp.run(spark, Array("gen", wh, "8", "12"))
+    GraftApp.run(spark, Array("rollup", wh))
+    GraftApp.run(spark, Array("status", wh))
+    val store = new TranscriptStore(spark, wh)
+    assert(store.readTier(Tier.Minute).count() > 0)
+    GraftApp.run(spark, Array("retain", wh, "2024-06-01", "raw=365", "1m=365"))
+    assert(store.readTier(Tier.Minute).count() > 0, "nothing should expire")
+  }
+}
