@@ -124,7 +124,12 @@ final class TranscriptStore(
       }
     }
 
-    // --- finer tier → coarser tier: recompute affected day partitions ---
+    // --- finer tier → coarser tier: recompute affected day partitions.
+    // Besides the algebraic metric folds, each coarser bucket stores a
+    // Gorilla chunk of the finer tier's (bucket_ts, text_len_sum)
+    // series — the north-star "compressed rolled points as binary
+    // chunk columns". Recomputing whole partitions keeps the chunk
+    // deterministic (ChunkAgg sorts in finish) and idempotent. ---
     def foldStep(src: ChronoTable, dst: ChronoTable, to: Tier, label: String): Unit = {
       val srcCur = src.currentSnapshotId
       val cDst = consumedSrc(dst)
@@ -137,7 +142,14 @@ final class TranscriptStore(
           val srcRows = src.read()
             .filter(col("ts_day").isin(days.toSeq: _*))
             .select(tierCols.map(col): _*)
-          val folded = withDay(Rollup.foldTier(srcRows, to)).cache()
+          val aggs = Rollup.foldAggs :+
+            graft.compress.ChunkCodec.chunkEncode(
+              unix_micros(col("bucket_ts")),
+              col("text_len_sum").cast("double")).as("chunk")
+          val folded = withDay(
+            srcRows
+              .groupBy(col("conv_id"), Rollup.bucket(col("bucket_ts"), to).as("bucket_ts"))
+              .agg(aggs.head, aggs.tail: _*)).cache()
           val cnt = folded.count()
           dst.overwritePartitions(
             p => days.contains(p.getOrElse("ts_day", "")),
@@ -163,6 +175,15 @@ final class TranscriptStore(
   def readTier(t: Tier): DataFrame = {
     val df = tier(t).read()
     if (df.isEmpty) df else df.select(tierCols.map(col): _*)
+  }
+
+  /** 1h/1d tiers also carry the Gorilla chunk of the finer tier's
+    * (bucket_ts, text_len_sum) points within each coarse bucket.
+    */
+  def readTierWithChunks(t: Tier): DataFrame = {
+    require(t != Tier.Minute, "1m is the finest tier — no chunk column")
+    val df = tier(t).read()
+    if (df.isEmpty) df else df.select((tierCols :+ "chunk").map(col): _*)
   }
 
   // ------------------------------------------------------------------

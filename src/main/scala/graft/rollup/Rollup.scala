@@ -45,7 +45,7 @@ object Rollup {
   /** Re-aggregations that fold a finer tier into a coarser one.
     * Exact because all metrics are algebraic (sum/min/max compose).
     */
-  private def foldAggs: Seq[Column] = Seq(
+  def foldAggs: Seq[Column] = Seq(
     sum(col("turn_cnt")).as("turn_cnt"),
     sum(col("tool_cnt")).as("tool_cnt"),
     sum(col("text_len_sum")).as("text_len_sum"),

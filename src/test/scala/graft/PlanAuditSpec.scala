@@ -1,0 +1,102 @@
+package graft
+
+/** Physical-plan hygiene audit: the properties that decide whether
+  * these plans survive a 100× scale-up — column pruning at the scan,
+  * broadcast for small dims, map-side partial aggregation, no
+  * accidental cartesian products. `.explain`-driven development,
+  * pinned as tests so regressions fail loudly.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  /** Flatten a physical plan across the AQE boundaries that hide
+    * subtrees from TreeNode traversal (AdaptiveSparkPlanExec holds
+    * its current plan in a field, QueryStageExec wraps its stage).
+    */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: flatten(q.plan)
+    case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+      p +: w.children.flatMap(flatten)
+    case other => p +: other.children.flatMap(flatten)
+  }
+
+  test("q_lang_id scan prunes documents to (doc_id, text)") {
+    // another suite may have cache()'d this parquet — the cache
+    // manager would swap the scan for InMemoryTableScan
+    spark.catalog.clearCache()
+    val scans = flatten(SparkEntry.queries("q_lang_id")(spark, sfDir)
+      .queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.requiredSchema.fieldNames.toSet
+      }
+    assert(scans.nonEmpty)
+    assert(scans.head == Set("doc_id", "text"),
+      s"unpruned scan columns: ${scans.head}")
+  }
+
+  test("q_region_rollup broadcasts the dimension tables") {
+    val p = plan("q_region_rollup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rollup queries keep map-side partial aggregation") {
+    Seq("q_rollup_1m", "q_rollup_1d").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q lost partial aggregation:\n$p")
+    }
+  }
+
+  test("q_align_join is an equi join (hash or sort-merge), never nested-loop") {
+    val p = plan("q_align_join")
+    assert(p.contains("Join"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"align join degraded to nested loop:\n$p")
+  }
+
+  test("LSH candidate join is an equi join on the band key, not all-pairs") {
+    val p = plan("q_minhash_lsh")
+    assert(!p.contains("CartesianProduct"),
+      s"LSH degraded to cartesian:\n$p")
+  }
+
+  test("only the brute-force cosine baseline is allowed a nested-loop pair join") {
+    val p = plan("q_embed_cosine_topk")
+    // expected: qid =!= nid is a non-equi condition → BNLJ; the SCALE
+    // path (q_embed_lsh_topk) must stay equi-join on (rot, bucket)
+    val scale = plan("q_embed_lsh_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+    assert(scale.contains("Join"), scale)
+  }
+
+  test("whole-stage codegen spans the rollup aggregate") {
+    // AQE shows only the stub pre-execution; run the query so the
+    // final plan (with codegen spans) materializes
+    val df = SparkEntry.queries("q_rollup_1m")(spark, sfDir)
+    df.collect() // count() would execute a DERIVED plan, not df's own
+    val hasCodegen = flatten(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegen, df.queryExecution.executedPlan.toString)
+  }
+
+  test("tier reads through ChronoTable push filters to parquet") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft-audit-").toString
+    val store = new graft.rollup.TranscriptStore(spark, wh, convBuckets = 2)
+    store.ingest(graft.datagen.TranscriptGen.generate(spark, 5, 10, seed = 81L).toDF())
+    store.rollupIncremental()
+    val p = store.readTier(graft.model.Tier.Minute)
+      .filter(col("conv_id") === "conv-000001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id,conv-000001)]"),
+      s"filter not pushed to parquet scan:\n$p")
+  }
+}

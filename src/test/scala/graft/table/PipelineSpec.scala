@@ -120,6 +120,47 @@ class PipelineSpec extends SparkSuite {
     turns.unpersist()
   }
 
+  test("1h tier chunk columns decode to exactly the 1m series per coarse bucket") {
+    val store = new TranscriptStore(spark, tmpWarehouse("chunk"), convBuckets = 2)
+    val turns = TranscriptGen.generate(spark, 10, 40, seed = 71L).toDF().cache()
+    store.ingest(turns)
+    store.rollupIncremental()
+    val m1 = store.readTier(Tier.Minute)
+      .select($"conv_id", org.apache.spark.sql.functions.unix_micros($"bucket_ts"),
+        $"text_len_sum".cast("double"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).sortBy(_._1).toSeq).toMap
+    val chunks = store.readTierWithChunks(Tier.Hour)
+      .select($"conv_id", $"bucket_ts", $"chunk")
+      .as[(String, java.sql.Timestamp, Array[Byte])].collect()
+    assert(chunks.nonEmpty)
+    val decodedByConv = chunks.groupBy(_._1).view.mapValues(
+      _.flatMap(c => graft.compress.Gorilla.decode(c._3)).sortBy(_._1).toSeq).toMap
+    decodedByConv.foreach { case (conv, pts) =>
+      assert(pts == m1(conv), s"chunk decode mismatch for $conv")
+    }
+    // incremental second batch: chunks recomputed, still exact
+    val b2 = TranscriptGen.generate(spark, 10, 40, seed = 72L).toDF()
+      .withColumn("turn_idx", $"turn_idx" + org.apache.spark.sql.functions.lit(50000))
+    store.ingest(b2)
+    store.rollupIncremental()
+    val m1b = store.readTier(Tier.Minute)
+      .select($"conv_id", org.apache.spark.sql.functions.unix_micros($"bucket_ts"),
+        $"text_len_sum".cast("double"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).sortBy(_._1).toSeq).toMap
+    val decoded2 = store.readTierWithChunks(Tier.Hour)
+      .select($"conv_id", $"chunk").as[(String, Array[Byte])].collect()
+      .groupBy(_._1).view.mapValues(
+        _.flatMap(c => graft.compress.Gorilla.decode(c._2)).sortBy(_._1).toSeq).toMap
+    decoded2.foreach { case (conv, pts) =>
+      assert(pts == m1b(conv), s"post-merge chunk mismatch for $conv")
+    }
+    turns.unpersist()
+  }
+
   test("snapshot isolation: reader pinned to an old snapshot sees old data; rollback works") {
     val wh = tmpWarehouse("snap")
     val t = ChronoTable(spark, s"$wh/t", Seq("ts_day"))
