@@ -158,6 +158,28 @@ object SparkEntry {
           min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
     }),
 
+    // --- cumulative DISTINCT count over time (A5's distinct-EventId
+    // analog): count(distinct tool) up to each day-bucket per conv.
+    // Window distinct isn't supported by either engine — the
+    // first-occurrence trick (flag each tool's first bucket, then a
+    // cumulative sum of flags) is exact and shuffle-friendly ---
+    "q_cumulative_distinct_tools" -> ((s, dir) => {
+      val withBucket = turns(s, dir)
+        .filter(col("tool").isNotNull)
+        .select(col("conv_id"), col("tool"),
+          Rollup.bucket(col("ts"), Tier.Day).as("bucket_ts"))
+      val firstSeen = Window.partitionBy(col("conv_id"), col("tool"))
+        .orderBy(col("bucket_ts"))
+      val flagged = withBucket
+        .withColumn("rn", row_number().over(firstSeen))
+        .groupBy(col("conv_id"), col("bucket_ts"))
+        .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("new_tools"))
+      val cum = Window.partitionBy(col("conv_id")).orderBy(col("bucket_ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      flagged.select(col("conv_id"), col("bucket_ts"),
+        sum(col("new_tools")).over(cum).as("distinct_tools_so_far"))
+    }),
+
     // --- collect + ordered string-join (A3, determinism pinned) ---
     "q_collect_tools" -> ((s, dir) =>
       turns(s, dir)
@@ -385,6 +407,23 @@ object SparkEntry {
           |SELECT conv_id, session_id, count(*) AS turn_cnt,
           |  min(ts) AS session_start, max(ts) AS session_end
           |FROM s GROUP BY 1, 2""".stripMargin),
+      "q_cumulative_distinct_tools" -> withTurns(
+        """WITH wb AS (
+          |  SELECT conv_id, tool, date_trunc('day', ts) AS bucket_ts
+          |  FROM turns WHERE tool IS NOT NULL),
+          |f AS (
+          |  SELECT conv_id, bucket_ts,
+          |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS new_tools
+          |  FROM (SELECT conv_id, tool, bucket_ts,
+          |          row_number() OVER (PARTITION BY conv_id, tool
+          |            ORDER BY bucket_ts) AS rn
+          |        FROM wb)
+          |  GROUP BY 1, 2)
+          |SELECT conv_id, bucket_ts,
+          |  CAST(sum(new_tools) OVER (PARTITION BY conv_id ORDER BY bucket_ts
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS distinct_tools_so_far
+          |FROM f""".stripMargin),
       "q_collect_tools" -> withTurns(
         """SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
           |  coalesce(string_agg(tool, ' - ' ORDER BY tool), '') AS tools_joined
