@@ -53,10 +53,27 @@ final class TranscriptStore(
   // ingest
   // ------------------------------------------------------------------
 
-  /** Append one batch of turns; returns the raw snapshot id. */
-  def ingest(turns: DataFrame): Long = {
-    val partitioned = turns
-      .select(turnCols.map(col): _*)
+  /** Append one batch of turns; returns the raw snapshot id.
+    *
+    * @param dedupe idempotent re-ingest (the engine analog of the
+    *   reference's FileConcat dedup, SURVEY.md domain table): rows
+    *   whose (conv_id, turn_idx) already exist in the raw table are
+    *   dropped with a LEFT ANTI join, so replaying a batch (at-least-
+    *   once upstream delivery) cannot double-count. The anti join is
+    *   day-partition-pruned: only the batch's own ts_day partitions
+    *   are read back, not the whole table — O(batch) at any scale.
+    */
+  def ingest(turns: DataFrame, dedupe: Boolean = false): Long = {
+    val base = turns.select(turnCols.map(col): _*)
+    val deduped = if (!dedupe || raw.currentSnapshotId == 0L) base else {
+      val days = base.select(date_format(col("ts"), "yyyy-MM-dd"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val existingKeys = raw.read()
+        .filter(col("ts_day").isin(days.toSeq: _*))
+        .select(col("conv_id"), col("turn_idx"))
+      base.join(existingKeys, Seq("conv_id", "turn_idx"), "left_anti")
+    }
+    val partitioned = deduped
       .withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("conv_bucket", pmod(hash(col("conv_id")), lit(convBuckets)))
     val sid = raw.append(partitioned, Map("op_detail" -> "ingest"))

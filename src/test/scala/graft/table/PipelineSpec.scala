@@ -120,6 +120,29 @@ class PipelineSpec extends SparkSuite {
     turns.unpersist()
   }
 
+  test("idempotent re-ingest: replaying a batch with dedupe adds nothing") {
+    val store = new TranscriptStore(spark, tmpWarehouse("reingest"), convBuckets = 2)
+    val batch = TranscriptGen.generate(spark, 8, 15, seed = 91L).toDF().cache()
+    store.ingest(batch, dedupe = true)
+    store.rollupIncremental()
+    val before = tierRows(store.readTier(Tier.Minute))
+    val rawBefore = store.readTurns().count()
+    // at-least-once upstream: the same batch arrives again, plus a few
+    // genuinely new rows
+    val newRows = TranscriptGen.generate(spark, 8, 15, seed = 91L).toDF()
+      .filter($"turn_idx" === 0)
+      .withColumn("turn_idx", $"turn_idx" + org.apache.spark.sql.functions.lit(5000))
+    store.ingest(batch.unionByName(newRows), dedupe = true)
+    store.rollupIncremental()
+    assert(store.readTurns().count() == rawBefore + newRows.count(),
+      "replayed rows must be dropped, new rows kept")
+    // tiers equal the dedup'd union, not the double-counted one
+    val want = tierRows(Rollup.rollupRaw(batch.unionByName(newRows), Tier.Minute))
+    assert(tierRows(store.readTier(Tier.Minute)) == want)
+    assert(before.nonEmpty)
+    batch.unpersist()
+  }
+
   test("1h tier chunk columns decode to exactly the 1m series per coarse bucket") {
     val store = new TranscriptStore(spark, tmpWarehouse("chunk"), convBuckets = 2)
     val turns = TranscriptGen.generate(spark, 10, 40, seed = 71L).toDF().cache()
