@@ -208,6 +208,25 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
     }),
 
+    // --- semi join: conversations that used a given tool family ---
+    "q_semi_join" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val searchers = t.filter(col("tool").isin("search", "browse"))
+        .select("conv_id")
+      t.select("conv_id").distinct()
+        .join(searchers, Seq("conv_id"), "left_semi")
+    }),
+
+    // --- anti join: conversations that never used the translate tool
+    // (any-tool would be vacuously empty on this data, and the driver
+    // smoke-checks rows > 0) ---
+    "q_anti_join" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val translators = t.filter(col("tool") === "translate").select("conv_id")
+      t.select("conv_id").distinct()
+        .join(translators, Seq("conv_id"), "left_anti")
+    }),
+
     // ================= training-data pipeline operators =================
 
     // --- text analysis: token/quality stats + codegen'd fingerprint ---
@@ -407,6 +426,15 @@ object SparkEntry {
           |SELECT conv_id, session_id, count(*) AS turn_cnt,
           |  min(ts) AS session_start, max(ts) AS session_end
           |FROM s GROUP BY 1, 2""".stripMargin),
+      "q_semi_join" -> withTurns(
+        """SELECT DISTINCT conv_id FROM turns t1
+          |WHERE EXISTS (SELECT 1 FROM turns t2
+          |  WHERE t2.conv_id = t1.conv_id
+          |    AND t2.tool IN ('search', 'browse'))""".stripMargin),
+      "q_anti_join" -> withTurns(
+        """SELECT DISTINCT conv_id FROM turns t1
+          |WHERE NOT EXISTS (SELECT 1 FROM turns t2
+          |  WHERE t2.conv_id = t1.conv_id AND t2.tool = 'translate')""".stripMargin),
       "q_cumulative_distinct_tools" -> withTurns(
         """WITH wb AS (
           |  SELECT conv_id, tool, date_trunc('day', ts) AS bucket_ts
