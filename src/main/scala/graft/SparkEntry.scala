@@ -208,6 +208,21 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
     }),
 
+    // --- mode with deterministic tiebreak (A1's mode(); Spark/DuckDB
+    // built-in mode() breaks ties arbitrarily — pin with (count desc,
+    // value asc) ranking instead, per SURVEY §7 hard parts) ---
+    "q_mode_tool" -> ((s, dir) => {
+      val counts = turns(s, dir)
+        .filter(col("tool").isNotNull)
+        .groupBy(col("conv_id"), col("tool"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("conv_id"))
+        .orderBy(col("cnt").desc, col("tool"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("conv_id"), col("tool").as("mode_tool"), col("cnt").as("mode_cnt"))
+    }),
+
     // --- semi join: conversations that used a given tool family ---
     "q_semi_join" -> ((s, dir) => {
       val t = turns(s, dir)
@@ -426,6 +441,14 @@ object SparkEntry {
           |SELECT conv_id, session_id, count(*) AS turn_cnt,
           |  min(ts) AS session_start, max(ts) AS session_end
           |FROM s GROUP BY 1, 2""".stripMargin),
+      "q_mode_tool" -> withTurns(
+        """SELECT conv_id, tool AS mode_tool, cnt AS mode_cnt FROM (
+          |  SELECT conv_id, tool, count(*) AS cnt,
+          |    row_number() OVER (PARTITION BY conv_id
+          |      ORDER BY count(*) DESC, tool) AS rn
+          |  FROM turns WHERE tool IS NOT NULL
+          |  GROUP BY conv_id, tool)
+          |WHERE rn = 1""".stripMargin),
       "q_semi_join" -> withTurns(
         """SELECT DISTINCT conv_id FROM turns t1
           |WHERE EXISTS (SELECT 1 FROM turns t2
