@@ -1,12 +1,16 @@
 package graft.plans
 
+import java.nio.file.{Files, Paths}
+
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
@@ -25,6 +29,24 @@ import graft.model.Tier
   * magnitude smaller) 1h tier. The cascade's algebraic-partials
   * discipline is what makes the rewrite exact: raw count(*) ==
   * sum(turn_cnt), raw sum(length(text)) == sum(text_len_sum), etc.
+  *
+  * Safety rails (each bails out to the original, always-correct raw
+  * plan):
+  *
+  *  - the path from the Aggregate to the scan must contain ONLY
+  *    Project / SubqueryAlias nodes. Anything else — Filter, Limit,
+  *    Sample, ... — is a predicate the tier table cannot answer, so
+  *    the rule refuses (a dropped Filter silently returns unfiltered
+  *    totals — the classic materialized-view-matching bug).
+  *  - the serving directory must exist AND be fresh: `publishServing`
+  *    stamps the raw-table snapshot each tier reflects into
+  *    `serve/WATERMARKS`; the rule compares that against the raw
+  *    ChronoTable's CURRENT snapshot and refuses to serve stale
+  *    aggregates.
+  *  - when the requested width has no (fresh) tier, the rule folds
+  *    the coarsest FINER tier whose width divides the request — a 1d
+  *    query with no 1d tier re-buckets the 1h tier, still orders of
+  *    magnitude cheaper than raw.
   *
   * Queries use [[TierRouting.tierBucket]] — a custom codegen'd
   * expression that evaluates the same floor-truncation arithmetic as
@@ -72,26 +94,80 @@ object TierRouting {
 
   def clearRegistry(): Unit = catalog.clear()
 
-  /** Which tier table serves a requested bucket width: exact match
-    * only (coarser requests could fold a finer tier — left simple).
-    * Reads the pipeline's published serving dirs
-    * (TranscriptStore.publishServing), not the ChronoTable internals.
-    */
   private def tierDir(warehouse: String, tierName: String): String =
     s"$warehouse/serve/tier_${tierName}"
 
+  /** Freshness stamp location — written by TranscriptStore
+    * .publishServing as `<tier>=<raw snapshot id fully reflected>`
+    * lines. Missing file / missing tier line → 0 (never fresh).
+    */
+  def watermarksPath(warehouse: String): java.nio.file.Path =
+    Paths.get(warehouse, "serve", "WATERMARKS")
+
+  private def servedWatermark(warehouse: String, tierName: String): Long = {
+    val p = watermarksPath(warehouse)
+    if (!Files.exists(p)) 0L
+    else Files.readAllLines(p).asScala
+      .map(_.split("=", 2))
+      .collectFirst { case Array(t, sid) if t == tierName => Try(sid.trim.toLong).getOrElse(0L) }
+      .getOrElse(0L)
+  }
+
+  /** The raw ChronoTable's CURRENT snapshot — the id serving data must
+    * have consumed to be fresh. 0 (→ never route) when the warehouse
+    * has no tracked raw table.
+    */
+  private def rawCurrentSid(warehouse: String): Long = {
+    val p = Paths.get(warehouse, "raw_turns", "CURRENT")
+    if (!Files.exists(p)) 0L
+    else Try(Files.readString(p).trim.toLong).getOrElse(0L)
+  }
+
   object RouteToTier extends Rule[LogicalPlan] {
 
-    private def rawWarehouse(plan: LogicalPlan): Option[String] =
+    /** The scan beneath the aggregate — ONLY through Project /
+      * SubqueryAlias. A Filter (or any other operator) between the
+      * aggregate and the scan makes the rewrite unsound: the tier
+      * table has pre-aggregated those rows away, so bail out.
+      */
+    private def routableScan(plan: LogicalPlan): Option[LogicalRelation] =
       plan match {
+        case lr @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) => Some(lr)
+        case p: Project => routableScan(p.child)
+        case s: SubqueryAlias => routableScan(s.child)
+        case _ => None
+      }
+
+    private def rawWarehouse(plan: LogicalPlan): Option[String] =
+      routableScan(plan).flatMap {
         case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
           val paths = fs.location.rootPaths.map(_.toString)
           catalog.collectFirst {
             case (prefix, wh) if paths.exists(_.contains(prefix)) => wh
           }
-        case p if p.children.size == 1 => rawWarehouse(p.children.head)
         case _ => None
       }
+
+    /** Choose the tier that serves a request for `requested` width:
+      * the coarsest fresh tier whose width divides the requested
+      * width (exact tier first, else fold-from-finer). Freshness =
+      * published watermark ≥ the raw table's CURRENT snapshot, and
+      * the serve dir actually readable.
+      */
+    private def pickServingTier(wh: String, requested: Tier): Option[(LogicalPlan, Tier)] = {
+      val needSid = rawCurrentSid(wh)
+      if (needSid <= 0L) None
+      else Tier.cascade
+        .filter(t => t.millis <= requested.millis && requested.millis % t.millis == 0)
+        .sortBy(-_.millis) // coarsest usable first
+        .view
+        .flatMap { t =>
+          if (servedWatermark(wh, t.name) < needSid) None
+          else Try(SparkSession.active.read.parquet(tierDir(wh, t.name))
+            .queryExecution.analyzed).toOption.map(p => (p, t))
+        }
+        .headOption
+    }
 
     /** Map a raw-side aggregate function to the tier-side equivalent
       * over the tier columns. None → not routable.
@@ -123,7 +199,7 @@ object TierRouting {
         case t: TierBucket => Some(t)
         case a: Attribute =>
           child.collectFirst {
-            case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+            case p: Project => p
           }.flatMap(_.projectList.collectFirst {
             case al @ Alias(t: TierBucket, _) if al.exprId == a.exprId => t
           })
@@ -136,19 +212,21 @@ object TierRouting {
         val routed = for {
           tb <- tbOpt
           wh <- rawWarehouse(child)
-          convGroup <- groupings.collectFirst {
+          _ <- groupings.collectFirst {
             case a: Attribute if a.name == "conv_id" => a }
           tbAttrIds = groupings.collect {
             case a: Attribute if resolveTierBucket(a, child).isDefined => a.exprId
           }.toSet
-          tierPlan = SparkSession.active.read
-            .parquet(tierDir(wh, tb.tierName))
-            .queryExecution.analyzed
+          (tierPlan, served) <- pickServingTier(wh, Tier(tb.tierName))
           out = tierPlan.output.map(a => a.name -> a).toMap
           if out.contains("conv_id") && out.contains("bucket_ts")
-          mapped <- mapAll(aggExprs, tbAttrIds, out)
+          // exact tier: its bucket_ts IS the requested bucket; finer
+          // tier: re-floor its bucket_ts to the requested width
+          bucketExpr = if (served.name == tb.tierName) out("bucket_ts")
+            else TierBucket(out("bucket_ts"), tb.tierName)
+          mapped <- mapAll(aggExprs, tbAttrIds, out, bucketExpr)
         } yield Aggregate(
-          Seq(out("conv_id"), out("bucket_ts")), mapped, tierPlan)
+          Seq(out("conv_id"), bucketExpr), mapped, tierPlan)
         routed.getOrElse(agg)
     }
 
@@ -157,14 +235,14 @@ object TierRouting {
       * parents stay resolved.
       */
     private def mapAll(aggExprs: Seq[NamedExpression], tbAttrIds: Set[ExprId],
-        out: Map[String, Attribute]): Option[Seq[NamedExpression]] = {
+        out: Map[String, Attribute], bucketExpr: Expression): Option[Seq[NamedExpression]] = {
       val mapped = aggExprs.map {
         case a: Attribute if a.name == "conv_id" =>
           Some(Alias(out("conv_id"), a.name)(exprId = a.exprId))
-        case al @ Alias(t: TierBucket, name) =>
-          Some(Alias(out("bucket_ts"), name)(exprId = al.exprId))
+        case al @ Alias(_: TierBucket, name) =>
+          Some(Alias(bucketExpr, name)(exprId = al.exprId))
         case al @ Alias(a: Attribute, name) if tbAttrIds.contains(a.exprId) =>
-          Some(Alias(out("bucket_ts"), name)(exprId = al.exprId))
+          Some(Alias(bucketExpr, name)(exprId = al.exprId))
         case al @ Alias(ae: AggregateExpression, name) =>
           mapAgg(ae.aggregateFunction, n => out(n))
             .map(e => Alias(e, name)(exprId = al.exprId))

@@ -259,10 +259,23 @@ final class TranscriptStore(
     * bare parquet — notably the TierRouting optimizer rule. Kept
     * OUTSIDE the ChronoTable roots so a publish never clobbers the
     * snapshot log it reads from.
+    *
+    * Also stamps `serve/WATERMARKS`: per tier, the raw-table snapshot
+    * id it fully reflects (0 when a fold in the cascade chain lags).
+    * TierRouting refuses to route to a tier whose stamp is behind the
+    * raw table's CURRENT — serving data can lag, but a routed query
+    * can never silently return stale aggregates.
     */
-  def publishServing(): Unit =
+  def publishServing(): Unit = {
     graft.model.Tier.cascade.foreach { t =>
       readTier(t).write.mode("overwrite")
         .parquet(s"$warehouse/serve/tier_${t.name}")
     }
+    val fresh1m = consumedSrc(tier1m)
+    val fresh1h = if (consumedSrc(tier1h) >= tier1m.currentSnapshotId) fresh1m else 0L
+    val fresh1d = if (consumedSrc(tier1d) >= tier1h.currentSnapshotId) fresh1h else 0L
+    val p = graft.plans.TierRouting.watermarksPath(warehouse)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, s"1m=$fresh1m\n1h=$fresh1h\n1d=$fresh1d\n")
+  }
 }

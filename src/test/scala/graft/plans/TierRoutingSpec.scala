@@ -79,6 +79,111 @@ class TierRoutingSpec extends SparkSuite {
     }
   }
 
+  // ---------------------------------------------------------------
+  // safety rails (round-2 ADVICE): Filter bail-out, freshness guard,
+  // unpublished fall-through, fold-from-finer
+  // ---------------------------------------------------------------
+
+  private def scannedPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try {
+        val it = stream.sorted(java.util.Comparator.reverseOrder()).iterator()
+        while (it.hasNext) Files.delete(it.next())
+      } finally stream.close()
+    }
+
+  /** Fresh warehouse + raw parquet dir for an isolated routing test. */
+  private def mkStore(turns: org.apache.spark.sql.DataFrame, publish: Boolean)
+      : (String, String, TranscriptStore) = {
+    val wh = Files.createTempDirectory("graft-route2-").toString
+    val rawDir = Files.createTempDirectory("graft-route2-raw-").toString + "/turns"
+    turns.write.mode("overwrite").parquet(rawDir)
+    val store = new TranscriptStore(spark, wh, convBuckets = 2)
+    store.ingest(turns)
+    store.rollupIncremental()
+    if (publish) store.publishServing()
+    TierRouting.install(spark)
+    TierRouting.registerWarehouse(rawDir, wh)
+    (rawDir, wh, store)
+  }
+
+  test("a Filter between aggregate and scan blocks routing (no unfiltered totals)") {
+    val turns = TranscriptGen.generate(spark, 8, 20, seed = 71L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    def q = spark.read.parquet(rawDir)
+      .filter($"role" === "user")
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+    assert(!scannedPaths(q).exists(_.contains("serve/tier")),
+      q.queryExecution.optimizedPlan.toString)
+    // ground truth from the in-memory turns (never routable)
+    val expected = turns
+      .filter($"role" === "user")
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    assert(q.as[(String, java.sql.Timestamp, Long)].collect().toSet == expected)
+    // sanity: the same query WITHOUT the filter does route
+    def qAll = spark.read.parquet(rawDir)
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+    assert(scannedPaths(qAll).exists(_.contains("serve/tier_1h")))
+  }
+
+  test("unpublished warehouse falls through to the raw scan (no optimizer crash)") {
+    val turns = TranscriptGen.generate(spark, 6, 15, seed = 72L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = false)
+    val q = spark.read.parquet(rawDir)
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+    assert(!scannedPaths(q).exists(_.contains("serve/tier")))
+    assert(q.count() > 0)
+  }
+
+  test("stale serving data is not routed; re-publish restores routing") {
+    val turns = TranscriptGen.generate(spark, 8, 20, seed = 73L).toDF()
+    val (rawDir, _, store) = mkStore(turns, publish = true)
+    def q = spark.read.parquet(rawDir)
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+    assert(scannedPaths(q).exists(_.contains("serve/tier_1h")))
+    // second ingest advances raw CURRENT past the published watermark
+    val more = TranscriptGen.generate(spark, 4, 10, seed = 74L).toDF()
+    more.write.mode("append").parquet(rawDir)
+    store.ingest(more)
+    assert(!scannedPaths(q).exists(_.contains("serve/tier")),
+      "stale serving data must not be routed")
+    store.rollupIncremental()
+    store.publishServing()
+    assert(scannedPaths(q).exists(_.contains("serve/tier_1h")))
+  }
+
+  test("1d request with no 1d serving dir folds the 1h tier") {
+    val turns = TranscriptGen.generate(spark, 10, 25, seed = 75L).toDF()
+    val (rawDir, wh, _) = mkStore(turns, publish = true)
+    deleteRecursively(java.nio.file.Paths.get(wh, "serve", "tier_1d"))
+    def q = spark.read.parquet(rawDir)
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Day).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"),
+        sum(length($"text").cast("long")).as("text_len_sum"))
+    assert(scannedPaths(q).exists(_.contains("serve/tier_1h")),
+      q.queryExecution.optimizedPlan.toString)
+    val expected = turns
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Day).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"),
+        sum(length($"text").cast("long")).as("text_len_sum"))
+      .as[(String, java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(q.as[(String, java.sql.Timestamp, Long, Long)].collect().toSet == expected)
+  }
+
   test("non-routable aggregates fall through to the raw scan unchanged") {
     val (rawDir, _) = setup
     // avg(length) is not in the mapped algebra → must NOT route
