@@ -28,10 +28,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // a crashed query must not look fast: its time is reported as -1
+    // AND its error surfaces in the "errors" object of the JSON line
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")).take(160)
+            .replaceAll("""[\\"\n\r\t]""", " ")
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // headline: rolled-up turns/sec across the cascade (write-path
@@ -59,12 +68,21 @@ object Bench {
       }
       cascade() // warm-up
       n / cascade()
-    } catch { case _: Throwable => -1.0 }
+    } catch {
+      case e: Throwable =>
+        errors("rollup_throughput") = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(160)
+          .replaceAll("""[\\"\n\r\t]""", " ")
+        -1.0
+    }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,"error_count":${errors.size},""" +
       s""""rollup_throughput_turns_per_sec":$throughput,"sf":"$sfDir"}""")
     spark.stop()
   }

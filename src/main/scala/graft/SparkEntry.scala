@@ -8,7 +8,7 @@ import graft.compress.ChunkCodec
 import graft.datagen.TranscriptGen
 import graft.functions.{GapFill, TextFunctions}
 import graft.model.Tier
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, DynamicPivot, Multimodal, Similarity, TreeDepth}
 import graft.rollup.Rollup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -42,6 +42,16 @@ object SparkEntry {
       Rollup.foldTier(
         Rollup.foldTier(
           Rollup.rollupRaw(turns(s, dir), Tier.Minute), Tier.Hour), Tier.Day)),
+
+    // --- arbitrary-width bucketing (reference ParseSettings "1s…1y"
+    // grammar; default 30s) — floor mode ---
+    "q_rollup_30s" -> ((s, dir) => Rollup.rollupRawWidth(turns(s, dir), "30s")),
+
+    // --- round-to-NEAREST mode (the reference's Polars dt.round
+    // semantics, rounding-identifiers.md: half-up ties) at 5m — the
+    // bucket width its own test uses (test_joinmanager.py:12) ---
+    "q_rollup_round_5m" -> ((s, dir) =>
+      Rollup.rollupRawWidth(turns(s, dir), "5m", nearest = true)),
 
     // --- salted two-phase agg ≡ plain agg (skew handling, §4.1) ---
     "q_rollup_salted_1m" -> ((s, dir) =>
@@ -120,6 +130,16 @@ object SparkEntry {
         .select(col("conv_id"), col("bucket_ts"),
           col("user").as("user_cnt"), col("assistant").as("assistant_cnt"),
           col("tool").as("tool_cnt"))),
+
+    // --- dynamic pivot (reference TraceInOneRowExploder.py:383-389:
+    // data-dependent column set, prefixed): one wide row per
+    // conversation, a `tool_<name>` count column per DISTINCT tool
+    // discovered at runtime (two-pass distinct → explicit pivot) ---
+    "q_conv_wide" -> ((s, dir) =>
+      DynamicPivot.pivotWide(
+        turns(s, dir).select(col("conv_id"), col("tool")),
+        groupCols = Seq("conv_id"), pivotCol = "tool",
+        valueAgg = count(lit(1)), prefix = "tool_")),
 
     // --- window lag (W): inter-turn gap in micros per conversation ---
     "q_window_lag" -> ((s, dir) => {
@@ -242,6 +262,22 @@ object SparkEntry {
         .join(translators, Seq("conv_id"), "left_anti")
     }),
 
+    // --- tree/hierarchy depth features (reference TreeBuilder.py:29-64):
+    // iterative BFS self-join over a per-conversation edge table
+    // (parent = (turn_idx-1)//2, a binary tree), per-tree depth stats
+    // joined back per node — oracled by a DuckDB recursive CTE ---
+    "q_tree_depth" -> ((s, dir) => {
+      val edges = turns(s, dir).select(
+        col("conv_id"),
+        col("turn_idx").as("node"),
+        when(col("turn_idx") === 0, lit(null).cast("int"))
+          .otherwise(floor((col("turn_idx") - 1) / 2).cast("int")).as("parent"))
+      TreeDepth.withDepthStats(
+        TreeDepth.depths(edges, "conv_id", "node", "parent"), "conv_id")
+        .select(col("conv_id"), col("node").cast("int").as("turn_idx"),
+          col("depth"), col("depth_max"), col("depth_sum"), col("node_cnt"))
+    }),
+
     // ================= training-data pipeline operators =================
 
     // --- text analysis: token/quality stats + codegen'd fingerprint ---
@@ -276,16 +312,36 @@ object SparkEntry {
         .select("doc_id", "text")
     }),
 
-    // --- exact n-gram Jaccard counts on bounded candidate pairs ---
+    // --- exact n-gram Jaccard: tiny-SF ORACLE CROSS-CHECK of the
+    // jaccardCounts kernel. Pair generation here is all-pairs within
+    // (lang, source) over a 10% doc_id subsample — deliberately
+    // bounded and DuckDB-reproducible; it is NOT the scale path
+    // (that's q_ngram_jaccard_lsh below, whose candidates come from
+    // the LSH band join) ---
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = docs.select(col("lang"), col("source"), col("doc_id").as("id1"))
-        .join(docs.select(col("lang"), col("source"), col("doc_id").as("id2")),
+      val sample = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val pairs = sample.select(col("lang"), col("source"), col("doc_id").as("id1"))
+        .join(sample.select(col("lang"), col("source"), col("doc_id").as("id2")),
           Seq("lang", "source"))
         .filter(col("id1") < col("id2"))
         .select("id1", "id2")
       val shingles = Dedup.charShingles(docs, "doc_id", "text", 3)
       Dedup.jaccardCounts(pairs, shingles, "doc_id")
+    }),
+
+    // --- the SCALE path: LSH band-join candidates → exact Jaccard
+    // verify. Shuffle ∝ band-key cardinality, never O(n²) within a
+    // group (candidate pair set is minhash-specific: rows-only) ---
+    "q_ngram_jaccard_lsh" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val shingles5 = Dedup.charShingles(docs, "doc_id", "text", 5)
+      val pairs = Dedup.lshCandidates(
+        Dedup.lshBands(
+          Dedup.minHashSignatures(shingles5, "doc_id", k = 16),
+          "doc_id", k = 16, bands = 4), "doc_id")
+      val shingles3 = Dedup.charShingles(docs, "doc_id", "text", 3)
+      Dedup.jaccardCounts(pairs, shingles3, "doc_id")
     }),
 
     // --- MinHash+LSH near-dup candidates (hash-specific: rows-only) ---
@@ -346,6 +402,24 @@ object SparkEntry {
       "q_rollup_1h" -> withTurns(Rollup.oracleSql(Tier.Hour)),
       "q_rollup_1d" -> withTurns(Rollup.oracleSql(Tier.Day)),
       "q_rollup_cascade_1d" -> withTurns(Rollup.oracleSql(Tier.Day)),
+      // floor to 30s: epoch-micros truncation (== bucketWidth("30s"))
+      "q_rollup_30s" -> withTurns(Rollup.oracleSqlExpr(
+        "make_timestamp(epoch_us(ts) - epoch_us(ts) % 30000000)")),
+      // round-half-up to 5m: shift by half a width, then floor
+      "q_rollup_round_5m" -> withTurns(Rollup.oracleSqlExpr(
+        "make_timestamp((epoch_us(ts) + 150000000) - " +
+          "(epoch_us(ts) + 150000000) % 300000000)")),
+      "q_conv_wide" -> withTurns(
+        """SELECT conv_id,
+          |  count(CASE WHEN tool = 'browse' THEN 1 END) AS tool_browse,
+          |  count(CASE WHEN tool = 'calc' THEN 1 END) AS tool_calc,
+          |  count(CASE WHEN tool = 'code_run' THEN 1 END) AS tool_code_run,
+          |  count(CASE WHEN tool = 'db_query' THEN 1 END) AS tool_db_query,
+          |  count(CASE WHEN tool = 'fetch' THEN 1 END) AS tool_fetch,
+          |  count(CASE WHEN tool = 'search' THEN 1 END) AS tool_search,
+          |  count(CASE WHEN tool = 'summarize' THEN 1 END) AS tool_summarize,
+          |  count(CASE WHEN tool = 'translate' THEN 1 END) AS tool_translate
+          |FROM turns WHERE tool IS NOT NULL GROUP BY conv_id""".stripMargin),
       "q_rollup_salted_1m" -> withTurns(Rollup.oracleSql(Tier.Minute)),
       "q_cumulative_1d" -> withTurns(
         s"""SELECT conv_id, bucket_ts,
@@ -449,6 +523,31 @@ object SparkEntry {
           |  FROM turns WHERE tool IS NOT NULL
           |  GROUP BY conv_id, tool)
           |WHERE rn = 1""".stripMargin),
+      // manual WITH RECURSIVE (withTurns can't splice the keyword:
+      // RECURSIVE must lead the CTE list and then applies to all)
+      "q_tree_depth" ->
+        s"""WITH RECURSIVE turns AS (
+           |${TranscriptGen.eventsToTurnsSql}
+           |),
+           |edges AS (
+           |  SELECT conv_id, turn_idx AS node,
+           |    CASE WHEN turn_idx = 0 THEN NULL
+           |         ELSE CAST((turn_idx - 1) // 2 AS INT) END AS parent
+           |  FROM turns),
+           |d AS (
+           |  SELECT conv_id, node, CAST(0 AS BIGINT) AS depth
+           |  FROM edges WHERE parent IS NULL
+           |  UNION ALL
+           |  SELECT e.conv_id, e.node, d.depth + 1
+           |  FROM edges e JOIN d ON e.conv_id = d.conv_id AND e.parent = d.node),
+           |stats AS (
+           |  SELECT conv_id, CAST(max(depth) AS BIGINT) AS depth_max,
+           |    CAST(sum(depth) AS BIGINT) AS depth_sum,
+           |    count(*) AS node_cnt
+           |  FROM d GROUP BY conv_id)
+           |SELECT d.conv_id, CAST(d.node AS INT) AS turn_idx, d.depth,
+           |  s.depth_max, s.depth_sum, s.node_cnt
+           |FROM d JOIN stats s ON s.conv_id = d.conv_id""".stripMargin,
       "q_semi_join" -> withTurns(
         """SELECT DISTINCT conv_id FROM turns t1
           |WHERE EXISTS (SELECT 1 FROM turns t2
@@ -546,7 +645,8 @@ object SparkEntry {
           |pairs AS (
           |  SELECT a.doc_id AS id1, b.doc_id AS id2 FROM documents a
           |  JOIN documents b ON a.lang = b.lang AND a.source = b.source
-          |    AND a.doc_id < b.doc_id),
+          |    AND a.doc_id < b.doc_id
+          |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0),
           |inter AS (
           |  SELECT p.id1, p.id2, count(*) AS inter_sz FROM pairs p
           |  JOIN sh s1 ON s1.doc_id = p.id1
@@ -597,5 +697,6 @@ object SparkEntry {
     * outputs DuckDB cannot reproduce); the driver records a weaker
     * rows-only check and ScalaTest covers their semantics instead.
     */
-  val oracleOmissions: Set[String] = Set("q_minhash_lsh", "q_simhash", "q_embed_lsh_topk")
+  val oracleOmissions: Set[String] =
+    Set("q_minhash_lsh", "q_simhash", "q_embed_lsh_topk", "q_ngram_jaccard_lsh")
 }

@@ -19,31 +19,38 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextFunctions {
 
-  /** Rolling polynomial fingerprint: h = (h*31 + byte) mod (2^31-1)
-    * over the UTF-8 bytes. h*31 + c < 2^36, so Long arithmetic never
-    * overflows. Codegen'd: stays inside WholeStageCodegen. The same
-    * recurrence is expressible in DuckDB (`list_reduce`), giving the
-    * oracle parity a custom Expression normally can't have.
+  /** Rolling polynomial fingerprint: h = (h*31 + codepoint) mod
+    * (2^31-1) over the Unicode CODE POINTS — not UTF-8 bytes, so the
+    * result matches the DuckDB oracle's per-character `ord()` fold on
+    * any text, not just ASCII (max codepoint 0x10FFFF ⇒ h*31 + c <
+    * 2^37, Long arithmetic never overflows). Codegen'd: stays inside
+    * WholeStageCodegen. The same recurrence is expressible in DuckDB
+    * (`list_reduce`), giving the oracle parity a custom Expression
+    * normally can't have.
     */
   case class Fingerprint(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any = {
-      val bytes = v.asInstanceOf[UTF8String].getBytes
+      val s = v.asInstanceOf[UTF8String].toString
       var h = 0L
       var i = 0
-      while (i < bytes.length) {
-        h = (h * 31L + (bytes(i) & 0xFF)) % 2147483647L
-        i += 1
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31L + cp) % 2147483647L
+        i += Character.charCount(cp)
       }
       java.lang.Long.valueOf(h)
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
         s"""
-           |byte[] fpBytes = $c.getBytes();
+           |java.lang.String fpS = $c.toString();
            |long fpH = 0L;
-           |for (int fpI = 0; fpI < fpBytes.length; fpI++) {
-           |  fpH = (fpH * 31L + (fpBytes[fpI] & 0xFF)) % 2147483647L;
+           |int fpI = 0;
+           |while (fpI < fpS.length()) {
+           |  int fpCp = fpS.codePointAt(fpI);
+           |  fpH = (fpH * 31L + fpCp) % 2147483647L;
+           |  fpI += java.lang.Character.charCount(fpCp);
            |}
            |${ev.value} = fpH;
            |""".stripMargin)

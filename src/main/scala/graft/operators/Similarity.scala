@@ -59,46 +59,68 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table,
-    * plane, dim): murmur3 hash mapped to (-0.5, 0.5). No RNG object —
-    * executors recompute identically.
+  /** splitmix64 finalizer — deterministic driver-side pseudo-random
+    * stream for hyperplane components (no RNG object to ship; every
+    * run of every executor sees the same planes as literals).
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(hash(lit(plane), dim), lit(100000)).cast("double") / 100000.0d) - 0.5d
+  private def mixed(seed: Long, k: Long): Long = {
+    var h = seed ^ (k * 0x9E3779B97F4A7C15L)
+    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
+  /** One deterministic hyperplane in (-0.5, 0.5)^dim. Computed ONCE
+    * driver-side and shipped as a literal array — the plane is a
+    * query constant, so recomputing its components per row (the old
+    * HOF form) was pure waste.
+    */
+  private[operators] def hyperplane(dim: Int, planeSeed: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      (math.floorMod(mixed(planeSeed.toLong, d.toLong), 100000L).toDouble / 100000.0) - 0.5
+    }
 
   /** Bucket key: `planes` sign bits of hyperplane dot products packed
     * into a long. `rotation` seeds a different plane family (probe
-    * several rotations and union for recall).
+    * several rotations and union for recall). Each plane dot is the
+    * codegen'd [[dot]] against a `typedLit` constant array.
     */
-  def lshBucket(vec: Column, planes: Int, rotation: Int = 0): Column =
+  def lshBucket(vec: Column, planes: Int, rotation: Int, dim: Int): Column =
     (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
-      val planeDot = aggregate(
-        zip_with(vec,
-          transform(sequence(lit(0), size(vec) - 1),
-            d => planeComponent(rotation * 1024 + p, d)),
-          (x, y) => x * y),
-        lit(0.0d), (a, v) => a + v)
+      val planeDot = dot(vec, typedLit(hyperplane(dim, rotation * 1024 + p)))
       acc.bitwiseOR(when(planeDot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L)))
     }
 
   /** ANN top-k via bucketed self-join over `rotations` plane families.
     * Same output shape as [[cosineTopK]]; recall < 1 by construction.
+    *
+    * Plan shape (the 100-TB path): norms are computed once per vector
+    * BEFORE the bucket join (mirroring [[cosineTopK]]); the join
+    * carries (id, vec, norm) keyed on (rot, bucket) — shuffle ∝
+    * Σ bucket², never n²; multi-rotation duplicate pairs are deduped
+    * AFTER scoring by a groupBy on (qid, nid) alone, so no full
+    * vectors flow through the dedup exchange.
     */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, planes: Int = 8, rotations: Int = 4): DataFrame = {
-    val vecs = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // dimension is table metadata (one tiny driver-side peek)
+    val dim = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val vecs = embeddings
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
     val bucketed = (0 until rotations).map { r =>
-      vecs.select(col("id"), col("v"), lit(r).as("rot"),
-        lshBucket(col("v"), planes, r).as("bucket"))
+      vecs.select(col("id"), col("v"), col("n"), lit(r).as("rot"),
+        lshBucket(col("v"), planes, r, dim).as("bucket"))
     }.reduce(_ unionByName _)
-    val a = bucketed.select(col("rot"), col("bucket"), col("id").as("qid"), col("v").as("qv"))
-    val b = bucketed.select(col("rot"), col("bucket"), col("id").as("nid"), col("v").as("nv"))
-    val cands = a.join(b, Seq("rot", "bucket"))
+    val a = bucketed.select(col("rot"), col("bucket"),
+      col("id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    val b = bucketed.select(col("rot"), col("bucket"),
+      col("id").as("nid"), col("v").as("nv"), col("n").as("nn"))
+    val scored = a.join(b, Seq("rot", "bucket"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qv"), col("nv"))
-      .distinct()
-    val scored = cands.select(col("qid"), col("nid"),
-      (dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv")))).as("cos"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      .groupBy(col("qid"), col("nid")).agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Tree / hierarchy depth features over an edge table — the engine
+  * counterpart of the reference's per-trace span-tree stage
+  * (/root/reference/jaeger_prometheus_joining/featureengineering/
+  * TreeBuilder.py:29-64: build a tree per trace from
+  * (spanID, childSpanID) edges, then join min/mean/max node depth
+  * back per span). Branching / sub-agent conversations are
+  * tree-shaped, so transcripts need the same capability.
+  *
+  * Implementation is an iterative BFS self-join (depth propagation to
+  * fixpoint), NOT a recursive UDF or a driver-side walk:
+  *
+  *  - iteration k joins the (persisted) edge table against the depth-k
+  *    frontier on (tree, parent) — a plain equi-join, shuffle keyed by
+  *    the partition column, map-side prunable;
+  *  - the number of rounds equals the tree HEIGHT (log-ish for
+  *    balanced trees), not the node count — at 10^12 edges the loop
+  *    runs ~dozens of joins, each touching only frontier rows;
+  *  - every frontier is `localCheckpoint`ed: the plan is cut per
+  *    round, so lineage (and codegen size) stays O(1) per iteration
+  *    instead of compounding — on a multi-executor cluster swap in
+  *    `checkpoint()` against a reliable store for fault tolerance.
+  *
+  * Results are exact for forests (each node one parent, no cycles);
+  * `maxIter` bounds runaway inputs containing cycles — rows on a
+  * cycle are unreachable from any root and are simply never emitted,
+  * which matches the recursive-CTE semantics of the DuckDB oracle.
+  */
+object TreeDepth {
+
+  /** Per-node depth: (treeCol, nodeCol, depth) — depth 0 at roots
+    * (rows whose `parentCol` is null), parent depth + 1 below.
+    *
+    * @param edges one row per node: (tree, node, parent|null)
+    */
+  def depths(edges: DataFrame, treeCol: String, nodeCol: String,
+      parentCol: String, maxIter: Int = 64): DataFrame = {
+    val e = edges
+      .select(col(treeCol).as("_tree"), col(nodeCol).as("_node"),
+        col(parentCol).as("_parent"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var frontier = e.filter(col("_parent").isNull)
+        .select(col("_tree"), col("_node"), lit(0L).as("depth"))
+        .localCheckpoint()
+      val acc = scala.collection.mutable.ArrayBuffer(frontier)
+      var i = 0
+      while (i < maxIter && !frontier.isEmpty) {
+        frontier = e
+          .join(frontier.select(col("_tree"), col("_node").as("_p"), col("depth")),
+            Seq("_tree"))
+          .filter(col("_parent") === col("_p"))
+          .select(col("_tree"), col("_node"), (col("depth") + 1L).as("depth"))
+          .localCheckpoint()
+        if (!frontier.isEmpty) acc += frontier
+        i += 1
+      }
+      acc.reduce(_ unionByName _)
+        .select(col("_tree").as(treeCol), col("_node").as(nodeCol), col("depth"))
+    } finally e.unpersist()
+  }
+
+  /** Join per-tree depth stats back onto every node (reference
+    * TreeBuilder.py:58-64 / contest_tree get_depth_stat_of_node):
+    * depth_max, depth_sum, node_cnt per tree — integral, mean is
+    * derived as depth_sum / node_cnt downstream.
+    */
+  def withDepthStats(depths: DataFrame, treeCol: String): DataFrame = {
+    val stats = depths.groupBy(col(treeCol)).agg(
+      max(col("depth")).as("depth_max"),
+      sum(col("depth")).as("depth_sum"),
+      count(lit(1)).as("node_cnt"))
+    depths.join(stats, Seq(treeCol))
+  }
+}

@@ -78,6 +78,54 @@ object Rollup {
       .groupBy(col("conv_id"), bucket(col("ts"), tier).as("bucket_ts"))
       .agg(rawAggs.head, rawAggs.tail: _*)
 
+  // ------------------------------------------------------------------
+  // arbitrary-width bucketing (reference ParseSettings.py:17-19: a
+  // "1s…1y" rounding grammar; default "30s") + round-to-NEAREST mode
+  // (Polars dt.round is nearest-boundary, half away from zero —
+  // reference meta/wiki/old/rounding-identifiers.md) — the fixed
+  // 1m/1h/1d Tier enum covers the cascade, this covers the knob.
+  // ------------------------------------------------------------------
+
+  private val widthRe = "^([0-9]+)(s|m|h|d|w)$".r
+
+  /** Parse a width spec ("30s", "5m", "2h", "1d", "1w") to micros.
+    * Calendar widths (month/year) are not fixed-length and need
+    * date_trunc semantics instead — rejected here by design.
+    */
+  def parseWidthUs(spec: String): Long = spec match {
+    case widthRe(n, u) =>
+      val unit = u match {
+        case "s" => 1000000L
+        case "m" => 60L * 1000000L
+        case "h" => 3600L * 1000000L
+        case "d" => 86400L * 1000000L
+        case "w" => 7L * 86400L * 1000000L
+      }
+      val v = n.toLong * unit
+      require(v > 0, s"zero-width bucket: $spec")
+      v
+    case other => throw new IllegalArgumentException(
+      s"bad bucket width '$other' (expected <n><s|m|h|d|w>)")
+  }
+
+  /** Floor (default) or round-half-up `ts` to an arbitrary
+    * fixed-width bucket. Same pure-Long codegen arithmetic as
+    * [[bucket]]; `nearest = true` reproduces the reference's
+    * `dt.round` semantics: ties (exactly half a width) round UP.
+    */
+  def bucketWidth(tsCol: Column, spec: String, nearest: Boolean = false): Column = {
+    val w = parseWidthUs(spec)
+    val us0 = unix_micros(tsCol.cast("timestamp"))
+    val us = if (nearest) us0 + lit(w / 2) else us0
+    timestamp_micros(us - pmod(us, lit(w)))
+  }
+
+  /** [[rollupRaw]] at an arbitrary width/mode. */
+  def rollupRawWidth(turns: DataFrame, spec: String, nearest: Boolean = false): DataFrame =
+    turns
+      .groupBy(col("conv_id"), bucketWidth(col("ts"), spec, nearest).as("bucket_ts"))
+      .agg(rawAggs.head, rawAggs.tail: _*)
+
   /** Salted two-phase variant for skewed inputs: phase 1 aggregates
     * (conv, bucket, salt) partials — spreading a hot key over
     * `saltBuckets` reducers — phase 2 merges partials. Result is
@@ -114,7 +162,14 @@ object Rollup {
     * query shares one source of truth.
     */
   def oracleSql(tier: Tier): String =
-    s"""SELECT conv_id, date_trunc('${tier.truncUnit}', ts) AS bucket_ts,
+    oracleSqlExpr(s"date_trunc('${tier.truncUnit}', ts)")
+
+  /** Same rollup oracle with an arbitrary SQL bucket expression —
+    * the width-parameterized queries pass epoch-micros arithmetic
+    * (`make_timestamp(...)`) equivalent to [[bucketWidth]].
+    */
+  def oracleSqlExpr(bucketExpr: String): String =
+    s"""SELECT conv_id, $bucketExpr AS bucket_ts,
        |  count(*) AS turn_cnt,
        |  count(tool) AS tool_cnt,
        |  CAST(sum(length(text)) AS BIGINT) AS text_len_sum,

@@ -68,6 +68,21 @@ class PlanAuditSpec extends SparkSuite {
       s"LSH degraded to cartesian:\n$p")
   }
 
+  test("q_ngram_jaccard_lsh (the scale path) never degrades to an all-pairs join") {
+    val p = plan("q_ngram_jaccard_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ngram scale path has an O(n²) join:\n$p")
+  }
+
+  test("q_embed_lsh_topk hyperplanes are literals, not per-row HOF recomputes") {
+    val p = plan("q_embed_lsh_topk")
+    assert(!p.contains("transform(sequence"),
+      s"hyperplane components recomputed per row:\n$p")
+    // the norm is computed before the bucket join, not per candidate
+    // pair: the scored projection divides by pre-joined qn·nn columns
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("only the brute-force cosine baseline is allowed a nested-loop pair join") {
     val p = plan("q_embed_cosine_topk")
     // expected: qid =!= nid is a non-equi condition → BNLJ; the SCALE

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class TreeDepthSpec extends SparkSuite {
+  import spark.implicits._
+
+  // two trees in one frame:
+  //   t1:        r              t2:   x
+  //            /   \                  |
+  //           b     c                 y
+  //           |
+  //           d
+  private val edges = Seq(
+    ("t1", "r", None), ("t1", "b", Some("r")), ("t1", "c", Some("r")),
+    ("t1", "d", Some("b")),
+    ("t2", "x", None), ("t2", "y", Some("x"))
+  ).toDF("tree", "node", "parent")
+
+  test("BFS depths on a hand-built 3-level forest") {
+    val got = TreeDepth.depths(edges, "tree", "node", "parent")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("t1", "r", 0L), ("t1", "b", 1L), ("t1", "c", 1L), ("t1", "d", 2L),
+      ("t2", "x", 0L), ("t2", "y", 1L)))
+  }
+
+  test("per-tree depth stats joined back onto every node") {
+    val d = TreeDepth.depths(edges, "tree", "node", "parent")
+    val got = TreeDepth.withDepthStats(d, "tree")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    // t1: max 2, sum 0+1+1+2=4, cnt 4; t2: max 1, sum 1, cnt 2
+    assert(got.filter(_._1 == "t1").map(r => (r._4, r._5, r._6)) == Set((2L, 4L, 4L)))
+    assert(got.filter(_._1 == "t2").map(r => (r._4, r._5, r._6)) == Set((1L, 1L, 2L)))
+    assert(got.size == 6)
+  }
+
+  test("nodes on a cycle are never emitted (recursive-CTE semantics)") {
+    val cyclic = edges.unionByName(
+      Seq(("t3", "p", Some("q")), ("t3", "q", Some("p"))).toDF("tree", "node", "parent"))
+    val got = TreeDepth.depths(cyclic, "tree", "node", "parent", maxIter = 16)
+    assert(got.filter($"tree" === "t3").isEmpty)
+    assert(got.count() == 6)
+  }
+
+  test("deep chain terminates at the tree height, not maxIter") {
+    val chain = (0 until 20).map(i =>
+      ("c", i.toString, if (i == 0) None else Some((i - 1).toString)))
+      .toDF("tree", "node", "parent")
+    val got = TreeDepth.depths(chain, "tree", "node", "parent")
+      .as[(String, String, Long)].collect()
+    assert(got.length == 20)
+    assert(got.map(_._3).max == 19L)
+  }
+}

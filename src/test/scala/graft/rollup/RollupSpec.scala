@@ -62,6 +62,51 @@ class RollupSpec extends SparkSuite {
     skewed.unpersist()
   }
 
+  test("parseWidthUs accepts the s/m/h/d/w grammar and rejects the rest") {
+    assert(Rollup.parseWidthUs("30s") == 30L * 1000000L)
+    assert(Rollup.parseWidthUs("5m") == 300L * 1000000L)
+    assert(Rollup.parseWidthUs("2h") == 7200L * 1000000L)
+    assert(Rollup.parseWidthUs("1d") == 86400L * 1000000L)
+    assert(Rollup.parseWidthUs("1w") == 7L * 86400L * 1000000L)
+    intercept[IllegalArgumentException](Rollup.parseWidthUs("1y"))
+    intercept[IllegalArgumentException](Rollup.parseWidthUs("abc"))
+    intercept[IllegalArgumentException](Rollup.parseWidthUs("0s"))
+  }
+
+  test("bucketWidth floor vs nearest (half-up ties, Polars dt.round parity)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      "2024-01-01 00:00:44", // 14s past the 30s boundary → nearest DOWN
+      "2024-01-01 00:00:45", // exactly half of 30s → tie rounds UP
+      "2024-01-01 00:02:29", // <half of 5m
+      "2024-01-01 00:02:30"  // exactly half of 5m → UP
+    ).toDF("s").select(to_timestamp($"s").as("ts"))
+    def fmt(c: org.apache.spark.sql.Column) = date_format(c, "HH:mm:ss")
+    val got = df.select(
+      fmt(Rollup.bucketWidth($"ts", "30s")).as("f30"),
+      fmt(Rollup.bucketWidth($"ts", "30s", nearest = true)).as("n30"),
+      fmt(Rollup.bucketWidth($"ts", "5m", nearest = true)).as("n5m"))
+      .as[(String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("00:00:30", "00:00:30", "00:00:00"),
+      ("00:00:30", "00:01:00", "00:00:00"),
+      ("00:02:00", "00:02:30", "00:00:00"),
+      ("00:02:30", "00:02:30", "00:05:00")))
+  }
+
+  test("tier-width bucketWidth agrees with the Tier bucket") {
+    import org.apache.spark.sql.functions._
+    val ts = turnsDs.toDF().select($"ts")
+    Seq(Tier.Minute -> "1m", Tier.Hour -> "1h", Tier.Day -> "1d").foreach {
+      case (tier, spec) =>
+        val mism = ts.select(
+          Rollup.bucket($"ts", tier).as("a"),
+          Rollup.bucketWidth($"ts", spec).as("b"))
+          .filter($"a" =!= $"b").count()
+        assert(mism == 0, s"$spec diverges from tier ${tier.name}")
+    }
+  }
+
   test("rollup plan has one shuffle and partial aggregation") {
     val plan = Rollup.rollupRaw(turnsDs.toDF(), Tier.Minute)
       .queryExecution.executedPlan.toString
