@@ -8,7 +8,7 @@ import graft.compress.ChunkCodec
 import graft.datagen.TranscriptGen
 import graft.functions.{GapFill, TextFunctions}
 import graft.model.Tier
-import graft.operators.{Dedup, DynamicPivot, Multimodal, Similarity, TreeDepth}
+import graft.operators.{AsOf, Dedup, DynamicPivot, Multimodal, Similarity, TreeDepth}
 import graft.rollup.Rollup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -160,6 +160,33 @@ object SparkEntry {
           last(when(col("role") === "user", col("ts")), ignoreNulls = true).over(w))
         .filter(col("role") === "tool")
         .select(col("conv_id"), col("turn_idx"), col("prev_user_ts"))
+    }),
+
+    // --- deterministic input truncation (W4: the reference's
+    // truncate-for-experiments knob, done as a pinned per-key head-N
+    // instead of a nondeterministic limit) ---
+    "q_head_per_conv" -> ((s, dir) => {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      turns(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+    }),
+
+    // --- cross-table as-of align (insights-experience.md:5): every
+    // turn matched with the latest purchase at-or-before it, 1h
+    // tolerance — union+window, oracled by DuckDB's native ASOF JOIN ---
+    "q_asof_align" -> ((s, dir) => {
+      val t = turns(s, dir).select(col("conv_id"), col("turn_idx"), col("ts"))
+      val purchases = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .groupBy(
+          concat(lit("conv-"), lpad(col("user_id").cast("string"), 6, "0")).as("conv_id"),
+          col("ts"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("purchase_cents"))
+      AsOf.join(t, purchases, Seq("conv_id"), toleranceUs = 3600L * 1000000L)
+        .select(col("conv_id"), col("turn_idx"), col("purchase_cents"),
+          col("matched_ts"))
     }),
 
     // --- sessionization: 30-min-gap session split + per-session agg ---
@@ -367,7 +394,9 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         k = 5, planes = 6, rotations = 4)),
 
-    // --- multimodal: metadata projection over binary payload table ---
+    // --- multimodal: REAL header decode (PNG/WAV/MP4 chunk+box walk,
+    // CRC-checked) of the binary payload column; the oracle recomputes
+    // what the generator encoded into the headers ---
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.metaOnly(Multimodal.synthesize(s, dir))),
 
@@ -499,6 +528,24 @@ object SparkEntry {
           |      (PARTITION BY conv_id ORDER BY turn_idx
           |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_user_ts
           |  FROM turns) WHERE role = 'tool'""".stripMargin),
+      "q_head_per_conv" -> withTurns(
+        """SELECT conv_id, turn_idx, role, text FROM turns
+          |QUALIFY row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) <= 5""".stripMargin),
+      "q_asof_align" -> withTurns(
+        """WITH p AS (
+          |  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+          |    ts,
+          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT t.conv_id, t.turn_idx,
+          |  CASE WHEN p.ts IS NOT NULL
+          |        AND epoch_us(t.ts) - epoch_us(p.ts) <= 3600000000
+          |       THEN p.cents END AS purchase_cents,
+          |  CASE WHEN p.ts IS NOT NULL
+          |        AND epoch_us(t.ts) - epoch_us(p.ts) <= 3600000000
+          |       THEN p.ts END AS matched_ts
+          |FROM turns t ASOF LEFT JOIN p
+          |  ON t.conv_id = p.conv_id AND t.ts >= p.ts""".stripMargin),
       "q_sessionize" -> withTurns(
         """WITH g AS (
           |  SELECT conv_id, turn_idx, ts,
@@ -682,10 +729,16 @@ object SparkEntry {
       "q_multimodal_meta" ->
         """SELECT doc_id,
           |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
-          |  CAST(strlen(text) AS INT) AS byte_len,
-          |  CAST(doc_id % 4 * 160 + 320 AS INT) AS width,
-          |  CAST(doc_id % 3 * 120 + 240 AS INT) AS height,
-          |  CAST(doc_id % 30 + 1 AS INT) AS duration_s
+          |  CAST(CASE doc_id % 3
+          |    WHEN 0 THEN 57 + strlen(text)
+          |    WHEN 1 THEN 44 + (doc_id % 30 + 1) * 100
+          |    ELSE 240 + strlen(text) END AS INT) AS byte_len,
+          |  CAST(CASE WHEN doc_id % 3 != 1
+          |    THEN doc_id % 4 * 160 + 320 END AS INT) AS width,
+          |  CAST(CASE WHEN doc_id % 3 != 1
+          |    THEN doc_id % 3 * 120 + 240 END AS INT) AS height,
+          |  CAST(CASE WHEN doc_id % 3 != 0
+          |    THEN doc_id % 30 + 1 END AS INT) AS duration_s
           |FROM documents""".stripMargin,
       "q_frame_sample" ->
         """SELECT doc_id,

@@ -34,11 +34,14 @@ final class TranscriptStore(
     val warehouse: String,
     val convBuckets: Int = 8) {
 
-  val raw: ChronoTable =
-    ChronoTable(spark, s"$warehouse/raw_turns", Seq("ts_day", "conv_bucket"))
-  val tier1m: ChronoTable = ChronoTable(spark, s"$warehouse/tier_1m", Seq("ts_day"))
-  val tier1h: ChronoTable = ChronoTable(spark, s"$warehouse/tier_1h", Seq("ts_day"))
-  val tier1d: ChronoTable = ChronoTable(spark, s"$warehouse/tier_1d", Seq("ts_day"))
+  val raw: ChronoTable = ChronoTable(
+    spark, s"$warehouse/raw_turns", Seq("ts_day", "conv_bucket"), Some("ts"))
+  val tier1m: ChronoTable =
+    ChronoTable(spark, s"$warehouse/tier_1m", Seq("ts_day"), Some("bucket_ts"))
+  val tier1h: ChronoTable =
+    ChronoTable(spark, s"$warehouse/tier_1h", Seq("ts_day"), Some("bucket_ts"))
+  val tier1d: ChronoTable =
+    ChronoTable(spark, s"$warehouse/tier_1d", Seq("ts_day"), Some("bucket_ts"))
   val metrics: ChronoTable = ChronoTable(spark, s"$warehouse/metrics", Seq.empty)
 
   def tier(t: Tier): ChronoTable = t match {
@@ -229,6 +232,15 @@ final class TranscriptStore(
     Seq(drop(raw, "raw"), drop(tier1m, "1m"), drop(tier1h, "1h"),
       drop(tier1d, "1d")).flatten.toMap
   }
+
+  /** Reclaim bytes across every table: delete data files referenced
+    * by no retained snapshot (run after [[retain]], whose partition
+    * drops are metadata-only). Returns table → (files, bytes) freed.
+    */
+  def vacuum(retainSnapshots: Int = 1): Map[String, (Long, Long)] =
+    Seq("raw" -> raw, "1m" -> tier1m, "1h" -> tier1h, "1d" -> tier1d,
+      "metrics" -> metrics)
+      .map { case (n, t) => n -> t.vacuum(retainSnapshots) }.toMap
 
   // ------------------------------------------------------------------
   // lineage + metrics

@@ -170,4 +170,55 @@ object ReferenceShapes {
         lit(serviceName).as("source_servicename"),
         (to_timestamp(concat_ws(" ", col("Date"), col("Time")))
           + expr(s"INTERVAL $hourOffset HOURS")).as("original_timestamp"))
+
+  // ---------------------------------------------------------------
+  // composed three-feed pipeline
+  // ---------------------------------------------------------------
+
+  /** The reference's END-TO-END join (controlflow/Joiner.py:18-46):
+    * spans, metric samples, and log events — each on its own clock —
+    * aligned on a rounded time bucket (default 30s, the reference's
+    * `rounding_acc`):
+    *
+    *  1. metric samples → per-(pod, bucket) means, then a
+    *     data-dependent pivot into `metric_<name>` columns
+    *     (MetricsParser.py:111-123 shape via [[graft.operators.DynamicPivot]]);
+    *  2. spans LEFT-join the wide metrics on (podname, bucket) — the
+    *     J1 align-join;
+    *  3. log events → cumulative count ≤ t per service (J3), attached
+    *     with a backward as-of join ([[graft.operators.AsOf]]) so a
+    *     span sees the log volume up to its own bucket even when no
+    *     log landed in that exact bucket.
+    *
+    * Returns one row per span (cardinality preserved — the P7/P8
+    * no-blowup discipline holds through the whole pipeline).
+    */
+  def joinThreeFeeds(spans: DataFrame, metrics: DataFrame, logs: DataFrame,
+      widthSpec: String = "30s"): DataFrame = {
+    import graft.operators.{AsOf, DynamicPivot}
+    import graft.rollup.Rollup
+    val sb = spans.withColumn("bucket_ts",
+      Rollup.bucketWidth(col("original_timestamp"), widthSpec, nearest = true))
+    val mBuckets = metrics
+      .filter(col("pod").isNotNull && col("pod") =!= "")
+      .groupBy(col("pod").as("podname"),
+        Rollup.bucketWidth(col("ts"), widthSpec, nearest = true).as("bucket_ts"),
+        col("metric_name"))
+      .agg(avg(col("value")).as("value"))
+    val mWide = DynamicPivot.pivotWide(mBuckets, Seq("podname", "bucket_ts"),
+      "metric_name", first(col("value")), prefix = "metric_")
+    val withMetrics = sb.join(mWide, Seq("podname", "bucket_ts"), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("servicename")).orderBy(col("bucket_ts"))
+      .rowsBetween(Long.MinValue, 0)
+    val logCum = logs
+      .groupBy(col("source_servicename").as("servicename"),
+        Rollup.bucketWidth(col("original_timestamp"), widthSpec, nearest = true)
+          .as("bucket_ts"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("log_cnt", sum(col("cnt")).over(w))
+      .select(col("servicename"), col("bucket_ts"), col("log_cnt"))
+    AsOf.join(withMetrics, logCum, Seq("servicename"),
+      leftTs = "bucket_ts", rightTs = "bucket_ts")
+  }
 }

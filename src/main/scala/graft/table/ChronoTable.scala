@@ -47,7 +47,14 @@ import org.apache.spark.sql.functions._
 final class ChronoTable private (
     val spark: SparkSession,
     val root: String,
-    val partitionCols: Seq[String]) {
+    val partitionCols: Seq[String],
+    /** Timestamp column to record per-file min/max stats for (Iceberg
+      * manifest-stats analog). Written at commit time, used by
+      * [[scanFiles]]/[[readRange]] to prune files a time-range query
+      * can never match — at 100 TB the difference between reading a
+      * partition and reading a file.
+      */
+    val statsTsCol: Option[String]) {
 
   private val mapper = new ObjectMapper()
   private def dataRoot = s"$root/data"
@@ -60,8 +67,12 @@ final class ChronoTable private (
 
   /** One live data file. `partition` is the relative key=value path
     * (excluding batch_id), e.g. "ts_day=2024-01-03/conv_bucket=2".
+    * `minTsUs`/`maxTsUs` are the file's stats-column bounds in epoch
+    * micros (None when the table has no stats column or the file's
+    * column is all-null — such files are never pruned).
     */
-  final case class FileEntry(path: String, partition: String, addedBy: Long)
+  final case class FileEntry(path: String, partition: String, addedBy: Long,
+      minTsUs: Option[Long] = None, maxTsUs: Option[Long] = None)
 
   final case class Snapshot(
       id: Long,
@@ -80,7 +91,9 @@ final class ChronoTable private (
       val n = mapper.readTree(Files.readString(p))
       val files = n.get("files").elements().asScala.map { f =>
         FileEntry(f.get("path").asText, f.get("partition").asText,
-          f.get("addedBy").asLong)
+          f.get("addedBy").asLong,
+          Option(f.get("minTsUs")).map(_.asLong),
+          Option(f.get("maxTsUs")).map(_.asLong))
       }.toSeq
       val summary = n.get("summary").fields().asScala
         .map(e => e.getKey -> e.getValue.asText).toMap
@@ -115,6 +128,8 @@ final class ChronoTable private (
       val fn = arr.addObject()
       fn.put("path", f.path); fn.put("partition", f.partition)
       fn.put("addedBy", f.addedBy)
+      f.minTsUs.foreach(fn.put("minTsUs", _))
+      f.maxTsUs.foreach(fn.put("maxTsUs", _))
     }
     val sm = node.putObject("summary")
     s.summary.foreach { case (k, v) => sm.put(k, v) }
@@ -150,10 +165,28 @@ final class ChronoTable private (
     Files.createDirectories(target.getParent)
     deleteRecursively(target) // orphan from a crashed commit of this sid
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
-    listParquet(target).map { p =>
+    val parquetFiles = listParquet(target)
+    // per-file stats: one scan of the NEW batch only (Iceberg computes
+    // the same bounds at write time), keyed by unique part-file name
+    val stats: Map[String, (Long, Long)] = statsTsCol match {
+      case Some(c) if parquetFiles.nonEmpty =>
+        spark.read.option("basePath", dataRoot).parquet(target.toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(unix_micros(col(c).cast("timestamp"))).as("mn"),
+            max(unix_micros(col(c).cast("timestamp"))).as("mx"))
+          .collect()
+          .flatMap { r =>
+            val name = r.getString(0).split('/').last
+            if (r.isNullAt(1) || r.isNullAt(2)) None
+            else Some(name -> ((r.getLong(1), r.getLong(2))))
+          }.toMap
+      case _ => Map.empty
+    }
+    parquetFiles.map { p =>
       val rel = target.relativize(p).toString
       val partition = Option(Paths.get(rel).getParent).map(_.toString).getOrElse("")
-      FileEntry(s"batch_id=$sid/$rel", partition, sid)
+      val st = stats.get(p.getFileName.toString)
+      FileEntry(s"batch_id=$sid/$rel", partition, sid, st.map(_._1), st.map(_._2))
     }
   }
 
@@ -202,8 +235,8 @@ final class ChronoTable private (
   }
 
   /** Retention: metadata-drop every partition whose values satisfy
-    * `expired`. Data files stay on disk until vacuum (not implemented:
-    * snapshots may still reference them).
+    * `expired`. Data files stay on disk until [[vacuum]] reclaims
+    * whatever the retained snapshots no longer reference.
     */
   def dropPartitions(expired: Map[String, String] => Boolean,
       summary: Map[String, String] = Map.empty): Long =
@@ -258,6 +291,75 @@ final class ChronoTable private (
     readFiles(files)
   }
 
+  /** Live files whose stats range overlaps [loUs, hiUs] (epoch
+    * micros, inclusive). Files without stats are conservatively kept
+    * — pruning may under-prune, never drop data.
+    */
+  def scanFiles(loUs: Long, hiUs: Long,
+      snapshotId: Long = currentSnapshotId): Seq[FileEntry] =
+    snapshot(snapshotId).map(_.files).getOrElse(Seq.empty).filter { f =>
+      (f.minTsUs, f.maxTsUs) match {
+        case (Some(mn), Some(mx)) => mn <= hiUs && mx >= loUs
+        case _ => true
+      }
+    }
+
+  /** Time-range read using per-file min/max stats pruning: reads ONLY
+    * the files [[scanFiles]] keeps. Callers still apply their own row
+    * filter (stats bound files, not rows).
+    */
+  def readRange(loUs: Long, hiUs: Long): DataFrame =
+    readFiles(scanFiles(loUs, hiUs))
+
+  /** Delete data files referenced by NO retained snapshot plus the
+    * expired snapshot jsons — the byte-reclaim companion of
+    * [[dropPartitions]] (which is metadata-only so time travel keeps
+    * working until vacuum). Retains the `retainSnapshots` most recent
+    * snapshots up to CURRENT; snapshots "after" CURRENT (undone by a
+    * rollback) are vacuumed too. Returns (files deleted, bytes
+    * reclaimed).
+    */
+  def vacuum(retainSnapshots: Int = 1): (Long, Long) = {
+    require(retainSnapshots >= 1, "must retain at least the current snapshot")
+    val cur = currentSnapshotId
+    if (cur == 0L) return (0L, 0L)
+    val keepIds = snapshotIds
+      .filter(id => id <= cur && id > cur - retainSnapshots).toSet
+    val referenced = keepIds.flatMap(id =>
+      snapshot(id).map(_.files.map(_.path)).getOrElse(Seq.empty))
+    var nFiles = 0L
+    var nBytes = 0L
+    val dataPath = Paths.get(dataRoot)
+    if (Files.exists(dataPath)) {
+      val stream = Files.walk(dataPath)
+      val all = try stream.iterator().asScala
+        .filter(Files.isRegularFile(_)).toSeq finally stream.close()
+      all.foreach { p =>
+        val rel = dataPath.relativize(p).toString
+        if (!referenced.contains(rel)) {
+          nBytes += Files.size(p)
+          Files.delete(p)
+          nFiles += 1
+        }
+      }
+      // sweep now-empty batch/partition dirs
+      val dirs = Files.walk(dataPath)
+      try dirs.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach { p =>
+          if (p != dataPath && Files.isDirectory(p)) {
+            val ls = Files.list(p)
+            val empty = try !ls.findFirst().isPresent finally ls.close()
+            if (empty) Files.delete(p)
+          }
+        }
+      finally dirs.close()
+    }
+    snapshotIds.filterNot(keepIds).foreach { id =>
+      Files.deleteIfExists(snapDir.resolve(s"v$id.json"))
+    }
+    (nFiles, nBytes)
+  }
+
   /** Live partitions (as parsed key→value maps) at the current snapshot. */
   def livePartitions: Seq[Map[String, String]] =
     currentSnapshot.map(_.files).getOrElse(Seq.empty)
@@ -283,8 +385,9 @@ final class ChronoTable private (
 
 object ChronoTable {
   /** Open (or initialize) a table rooted at `root`. */
-  def apply(spark: SparkSession, root: String, partitionCols: Seq[String]): ChronoTable = {
+  def apply(spark: SparkSession, root: String, partitionCols: Seq[String],
+      statsTsCol: Option[String] = None): ChronoTable = {
     Files.createDirectories(Paths.get(root))
-    new ChronoTable(spark, root, partitionCols)
+    new ChronoTable(spark, root, partitionCols, statsTsCol)
   }
 }

@@ -18,6 +18,39 @@ class MultimodalSpec extends SparkSuite {
     assert(mm.count() > 0)
   }
 
+  test("header decode round-trips the builders exactly") {
+    val png = MediaHeaders.buildPng(640, 480, "body".getBytes)
+    assert(MediaHeaders.parse(png)
+      .contains(MediaHeaders.MediaMeta("png", Some(640), Some(480), None)))
+    val wav = MediaHeaders.buildWav(byteRate = 100, dataSize = 700, fill = "x".getBytes)
+    assert(MediaHeaders.parse(wav)
+      .contains(MediaHeaders.MediaMeta("wav", None, None, Some(7))))
+    val mp4 = MediaHeaders.buildMp4(1280, 720, 13, "zz".getBytes)
+    assert(MediaHeaders.parse(mp4)
+      .contains(MediaHeaders.MediaMeta("mp4", Some(1280), Some(720), Some(13))))
+  }
+
+  test("corrupt payloads decode to None, not garbage") {
+    val png = MediaHeaders.buildPng(640, 480, "body".getBytes)
+    png(18) = (png(18) ^ 0xFF).toByte // flip a width byte → IHDR CRC fails
+    assert(MediaHeaders.parse(png).isEmpty)
+    assert(MediaHeaders.parse("definitely not a container".getBytes).isEmpty)
+    assert(MediaHeaders.parse(Array.empty[Byte]).isEmpty)
+  }
+
+  test("decoded metadata equals generator intent on every row") {
+    val dec = Multimodal.decodeMeta(Multimodal.synthesize(spark, sfDir)).cache()
+    assert(dec.filter($"decoded_modality".isNull).count() == 0,
+      "some payload failed to parse")
+    val bad = dec.filter(
+      $"decoded_modality" =!= $"modality" ||
+        ($"modality" =!= "audio" &&
+          ($"width" =!= $"meta.width" || $"height" =!= $"meta.height")) ||
+        ($"modality" =!= "image" && $"duration_s" =!= $"meta.duration_s")).count()
+    assert(bad == 0, "decode diverges from generator intent")
+    dec.unpersist()
+  }
+
   test("feature extraction: fixed-width vectors, deterministic") {
     val f = Multimodal.extractFeatures(Multimodal.synthesize(spark, sfDir))
     val rows = f.select($"doc_id", $"features").as[(Long, Seq[Float])].collect()

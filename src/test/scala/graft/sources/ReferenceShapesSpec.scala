@@ -64,6 +64,33 @@ class ReferenceShapesSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("three-feed e2e: spans ⋈ pivoted metrics ⋈ cumulative log counts") {
+    val spans = ReferenceShapes.parseJaegerJson(spark, res("jaeger_sample.json"))
+    val metrics = ReferenceShapes.parsePromJson(spark, res("prom_sample.json"))
+    // the log feed's wall clock (09:15) runs ~1.5h ahead of the span
+    // clock (07:48 UTC) — the reference's observed trace↔feed offset
+    // problem; correct it feed-side like LogsParser does
+    val logs = ReferenceShapes.parseStructuredLogs(spark, res("logs_sample.csv"),
+      serviceName = "ts-order-service", hourOffset = -2)
+    val out = ReferenceShapes.joinThreeFeeds(spans, metrics, logs).cache()
+    // cardinality preserved: one row per span through the whole chain
+    assert(out.count() == 3)
+    val byId = out.collect().map(r => r.getAs[String]("spanID") -> r).toMap
+    // spans s1/s2 (pod-a, bucket 09:08:00) see the 09:08:00 cpu sample
+    val cpuCol = "metric_container_cpu_usage_seconds_total"
+    assert(byId("s1").getAs[Double](cpuCol) == 0.5)
+    assert(byId("s2").getAs[Double](cpuCol) == 0.5)
+    // s3's pod-b series was pause-REPAIRED (container "POD" → "pod-b")
+    // and therefore kept: its 09:08:00 sample joins through
+    assert(byId("s3").getAs[Double](cpuCol) == 1.25)
+    // cumulative log count ≤ span bucket: all 4 shifted events precede
+    // the spans for ts-order-service; ts-db-service has no log feed
+    assert(byId("s1").getAs[Long]("log_cnt") == 4L)
+    assert(byId("s2").getAs[Long]("log_cnt") == 4L)
+    assert(byId("s3").getAs[java.lang.Long]("log_cnt") == null)
+    out.unpersist()
+  }
+
   test("structured log parse: timestamp build + clock offset, no UDF") {
     val df = ReferenceShapes.parseStructuredLogs(spark, res("logs_sample.csv"),
       serviceName = "svc-a", hourOffset = 2)

@@ -1,0 +1,115 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.datagen.TranscriptGen
+
+class VacuumSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkTable(statsCol: Option[String] = Some("ts")): ChronoTable =
+    ChronoTable(spark,
+      Files.createTempDirectory("graft-vacuum-").toString,
+      Seq("ts_day"), statsCol)
+
+  private def dayTurns(nConvs: Int, seed: Long) =
+    TranscriptGen.generate(spark, nConvs, 10, seed = seed).toDF()
+      .withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))
+
+  private def parquetOnDisk(t: ChronoTable): Seq[String] = {
+    val data = Paths.get(t.root, "data")
+    if (!Files.exists(data)) Seq.empty
+    else {
+      val s = Files.walk(data)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(data.relativize(_).toString).toSeq
+      finally s.close()
+    }
+  }
+
+  test("vacuum reclaims files no retained snapshot references") {
+    val t = mkTable()
+    t.append(dayTurns(4, 1L))
+    t.append(dayTurns(4, 2L))
+    // rewrite everything: snapshots 1-2's files become garbage
+    t.overwritePartitions(_ => true, Some(dayTurns(6, 3L)))
+    val rowsBefore = t.read().count()
+    val diskBefore = parquetOnDisk(t).size
+    val (nFiles, nBytes) = t.vacuum(retainSnapshots = 1)
+    assert(nFiles > 0 && nBytes > 0, "vacuum reclaimed nothing")
+    // survivors byte-identical: same rows, and disk == live set exactly
+    assert(t.read().count() == rowsBefore)
+    val live = t.currentSnapshot.get.files.map(_.path).toSet
+    assert(parquetOnDisk(t).toSet == live)
+    assert(parquetOnDisk(t).size < diskBefore)
+    // expired snapshot jsons are gone too
+    assert(t.snapshotIds == Seq(t.currentSnapshotId))
+  }
+
+  test("retention drop + vacuum reclaims expired bytes, survivors byte-identical") {
+    val t = mkTable()
+    val shifted = dayTurns(3, 10L)
+      .withColumn("ts", col("ts") + expr("INTERVAL 3 DAYS"))
+      .withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))
+    t.append(dayTurns(3, 9L).unionByName(shifted))
+    val days = t.livePartitions.flatMap(_.get("ts_day")).distinct.sorted
+    assert(days.size >= 2, s"fixture spans too few days: $days")
+    val cutoff = days(days.size / 2)
+    t.dropPartitions(p => p.get("ts_day").exists(_ < cutoff))
+    val survivors = t.read().select($"conv_id", $"turn_idx", $"text")
+      .collect().map(_.toString).sorted.toSeq
+    val (nFiles, _) = t.vacuum(retainSnapshots = 1)
+    assert(nFiles > 0, "expired partition files not reclaimed")
+    val after = t.read().select($"conv_id", $"turn_idx", $"text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == survivors)
+    assert(parquetOnDisk(t).toSet == t.currentSnapshot.get.files.map(_.path).toSet)
+  }
+
+  test("vacuum with retainSnapshots=2 keeps the previous snapshot readable") {
+    val t = mkTable()
+    t.append(dayTurns(3, 4L))
+    val sid1 = t.currentSnapshotId
+    t.overwritePartitions(_ => true, Some(dayTurns(3, 5L)))
+    t.vacuum(retainSnapshots = 2)
+    assert(t.snapshot(sid1).isDefined)
+    assert(t.read(sid1).count() > 0) // time travel still works
+  }
+
+  test("per-file min/max stats are recorded and prune range scans") {
+    val t = mkTable()
+    // two batches with disjoint time ranges (shift the second by 30d)
+    val early = dayTurns(4, 6L)
+    val late = dayTurns(4, 7L)
+      .withColumn("ts", col("ts") + expr("INTERVAL 30 DAYS"))
+      .withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))
+    t.append(early)
+    t.append(late)
+    val all = t.currentSnapshot.get.files
+    assert(all.forall(f => f.minTsUs.isDefined && f.maxTsUs.isDefined),
+      "stats missing on committed files")
+    // a range covering only the early batch prunes every late file
+    val earlyBounds = early.agg(
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .as[(Long, Long)].head()
+    val pruned = t.scanFiles(earlyBounds._1, earlyBounds._2)
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"no pruning: ${pruned.size} of ${all.size}")
+    assert(pruned.forall(_.addedBy == 1L), "late files not pruned")
+    // readRange returns exactly the early rows
+    assert(t.readRange(earlyBounds._1, earlyBounds._2).count() == early.count())
+  }
+
+  test("tables without a stats column never prune") {
+    val t = mkTable(statsCol = None)
+    t.append(dayTurns(2, 8L))
+    val all = t.currentSnapshot.get.files
+    assert(all.forall(f => f.minTsUs.isEmpty && f.maxTsUs.isEmpty))
+    assert(t.scanFiles(0L, 1L).size == all.size) // conservative keep-all
+  }
+}
