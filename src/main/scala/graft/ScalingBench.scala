@@ -97,17 +97,19 @@ object ScalingBench {
     val nTurns = cnt.read.parquet(input).count()
     cnt.stop()
 
-    def measure(cores: Int): Double = {
+    def measure(cores: Int): Seq[Double] = {
       val s = session(cores)
       val out = Files.createTempDirectory(s"graft-casc-$cores-").toString
       cascadeSecs(s, input, out) // warm-up: JIT + codegen + page cache
-      val runs = (1 to 3).map(_ => cascadeSecs(s, input, out))
+      val runs = (1 to 5).map(_ => cascadeSecs(s, input, out))
       s.stop()
-      runs.min
+      runs
     }
 
     val levels = Seq(2, 8, 32)
-    val times = levels.map(c => c -> measure(c)).toMap
+    val allRuns = levels.map(c => c -> measure(c)).toMap
+    // median of 5: robust to the run-to-run variance best-of-N hides
+    val times = allRuns.view.mapValues(r => r.sorted.apply(r.size / 2)).toMap
     def thr(c: Int) = nTurns / times(c)
     val eff28 = (times(2) / times(8)) / 4.0
     val eff832 = (times(8) / times(32)) / 4.0
@@ -141,9 +143,12 @@ object ScalingBench {
          |per-core scaling signal.
          |
          |Method: input materialized once; per level, one warm-up
-         |cascade (JIT/codegen/page cache) then best-of-2 measured
-         |cascades; identical shuffle-partition count (64) at every
-         |level so only core count varies.
+         |cascade (JIT/codegen/page cache) then the MEDIAN of 5
+         |measured cascades (robust to run-to-run variance);
+         |identical shuffle-partition count (64) at every level so
+         |only core count varies. All runs (s):
+         |${levels.map(c => s"local[$c]: " +
+             allRuns(c).map(t => f"$t%.1f").mkString(", ")).mkString("; ")}
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)

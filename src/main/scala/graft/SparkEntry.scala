@@ -394,6 +394,24 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         k = 5, planes = 6, rotations = 4)),
 
+    // --- embedding-cosine near-dup: exact verify of planted duplicate
+    // vectors at cos ≥ 0.95. Brute all-pairs variant = the labeled
+    // oracle baseline; the LSH variant feeds bucket-join candidates
+    // and (because identical vectors share every bucket) provably
+    // recovers the same pairs — so BOTH are oracle-checked ---
+    "q_embed_neardup" -> ((s, dir) => {
+      val dv = dupedVecs(s, dir)
+      val pairs = dv.select(col("vec_id").as("id1"))
+        .join(dv.select(col("vec_id").as("id2")), col("id1") < col("id2"))
+      Similarity.cosineNearDup(dv, "vec_id", "embedding", pairs, 0.95)
+    }),
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      val dv = dupedVecs(s, dir)
+      Similarity.cosineNearDup(dv, "vec_id", "embedding",
+        Similarity.lshPairs(dv, "vec_id", "embedding", planes = 6, rotations = 4),
+        0.95)
+    }),
+
     // --- multimodal: REAL header decode (PNG/WAV/MP4 chunk+box walk,
     // CRC-checked) of the binary payload column; the oracle recomputes
     // what the generator encoded into the headers ---
@@ -413,6 +431,24 @@ object SparkEntry {
       docs.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
+
+  /** embeddings ∪ exact copies of every 10th vector (re-id'd) — the
+    * planted near-duplicate fixture for the cosine near-dup queries.
+    */
+  private def dupedVecs(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    emb.unionByName(
+      emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+  }
+
+  /** Shared DuckDB CTE mirroring [[dupedVecs]] (doubles pre-cast). */
+  private val dupedVecsSql: String =
+    """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
 
   /** Shared DuckDB CTE mirroring [[dupedDocs]]. */
   private val dupedDocsSql: String =
@@ -726,6 +762,8 @@ object SparkEntry {
           |  SELECT qid, nid,
           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
           |  FROM pairs) WHERE rank <= 5""".stripMargin,
+      "q_embed_neardup" -> neardupOracleSql,
+      "q_embed_neardup_lsh" -> neardupOracleSql,
       "q_multimodal_meta" ->
         """SELECT doc_id,
           |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
@@ -745,6 +783,27 @@ object SparkEntry {
           |  CAST(unnest(generate_series(0, CAST(doc_id % 30 AS INT), 5)) AS INT) AS frame_ts_s
           |FROM documents WHERE doc_id % 3 = 2""".stripMargin)
   }
+
+  /** One oracle for BOTH near-dup variants: the same left-to-right
+    * double summation as the engine's DotProduct (bit-identical), so
+    * brute and LSH-candidate paths must return identical pairs.
+    */
+  private def neardupOracleSql: String =
+    s"""WITH base AS ($dupedVecsSql),
+       |n AS (
+       |  SELECT vec_id, e,
+       |    sqrt(list_reduce(list_concat([0.0::DOUBLE],
+       |      list_transform(generate_series(1, len(e)), i -> e[i] * e[i])),
+       |      (x, y) -> x + y)) AS nn
+       |  FROM base),
+       |pairs AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    list_reduce(list_concat([0.0::DOUBLE],
+       |      list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])),
+       |      (x, y) -> x + y) / (a.nn * b.nn) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT id1, id2, CAST(floor(cos * 1000) AS BIGINT) AS cos_millis
+       |FROM pairs WHERE cos >= 0.95""".stripMargin
 
   /** Queries intentionally WITHOUT oracle SQL (hash-function-specific
     * outputs DuckDB cannot reproduce); the driver records a weaker

@@ -19,6 +19,8 @@ import graft.rollup.TranscriptStore
   *   gen     <warehouse> <nConvs> <avgTurns>   ingest synthetic turns
   *   rollup  <warehouse>                       incremental 1m/1h/1d cascade
   *   retain  <warehouse> <today> raw=N 1m=N 1h=N 1d=N
+  *   vacuum  <warehouse> [retainSnapshots]     reclaim unreferenced bytes
+  *   publish <warehouse>                       publish serving dirs + watermarks
   *   status  <warehouse>                       snapshots + tier row counts
   * }}}
   */
@@ -69,6 +71,15 @@ object GraftApp {
         val dropped = store.retain(ttls, today)
         val body = dropped.map { case (k, v) => s""""$k":$v""" }.mkString(",")
         println(s"""{"op":"retain","dropped_partitions":{$body}}""")
+      case "vacuum" =>
+        val retain = if (args.length > 2) args(2).toInt else 1
+        val freed = store.vacuum(retain)
+        val body = freed.map { case (k, (f, b)) =>
+          s""""$k":{"files":$f,"bytes":$b}""" }.mkString(",")
+        println(s"""{"op":"vacuum","freed":{$body}}""")
+      case "publish" =>
+        store.publishServing()
+        println(s"""{"op":"publish","warehouse":"$warehouse"}""")
       case "status" =>
         val tiers = Tier.cascade.map(t =>
           s""""${t.name}":${store.readTier(t).count()}""").mkString(",")

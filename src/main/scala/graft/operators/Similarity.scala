@@ -91,6 +91,46 @@ object Similarity {
       acc.bitwiseOR(when(planeDot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L)))
     }
 
+  /** Candidate pairs (id1 < id2, deduped) sharing an LSH bucket in
+    * any rotation — the embedding analog of [[Dedup.lshCandidates]]:
+    * equi-join on (rot, bucket), shuffle ∝ Σ bucket², never n².
+    */
+  def lshPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 8, rotations: Int = 4): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val vecs = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val bucketed = (0 until rotations).map { r =>
+      vecs.select(col("id"), lit(r).as("rot"),
+        lshBucket(col("v"), planes, r, dim).as("bucket"))
+    }.reduce(_ unionByName _)
+    bucketed.select(col("rot"), col("bucket"), col("id").as("id1"))
+      .join(bucketed.select(col("rot"), col("bucket"), col("id").as("id2")),
+        Seq("rot", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact near-duplicate verification for a candidate pair table:
+    * keep pairs with cosine ≥ threshold, emitting integral
+    * `cos_millis` = floor(1000·cos) so the output hash-compares.
+    * Feed [[lshPairs]] at scale; an all-pairs table only as a small
+    * oracle baseline.
+    */
+  def cosineNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
+      pairs: DataFrame, threshold: Double): DataFrame = {
+    val vecs = embeddings
+      .select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_n", norm(col("_v")))
+    pairs
+      .join(vecs.select(col("_id").as("id1"), col("_v").as("v1"), col("_n").as("n1")), Seq("id1"))
+      .join(vecs.select(col("_id").as("id2"), col("_v").as("v2"), col("_n").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"),
+        floor(col("cos") * 1000).cast("long").as("cos_millis"))
+  }
+
   /** ANN top-k via bucketed self-join over `rotations` plane families.
     * Same output shape as [[cosineTopK]]; recall < 1 by construction.
     *

@@ -45,5 +45,12 @@ class AppSpec extends SparkSuite {
     assert(store.readTier(Tier.Minute).count() > 0)
     GraftApp.run(spark, Array("retain", wh, "2024-06-01", "raw=365", "1m=365"))
     assert(store.readTier(Tier.Minute).count() > 0, "nothing should expire")
+    // publish → routing watermark stamped; vacuum → rows unchanged
+    GraftApp.run(spark, Array("publish", wh))
+    assert(java.nio.file.Files.exists(
+      graft.plans.TierRouting.watermarksPath(wh)))
+    val rowsBefore = store.readTurns().count()
+    GraftApp.run(spark, Array("vacuum", wh, "1"))
+    assert(store.readTurns().count() == rowsBefore)
   }
 }

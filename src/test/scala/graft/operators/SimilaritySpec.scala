@@ -60,6 +60,25 @@ class SimilaritySpec extends SparkSuite {
     assert(mean >= 0.6, s"mean ANN recall too low vs candidate volume: $mean")
   }
 
+  test("cosine near-dup: LSH candidate path recovers exactly the brute pairs") {
+    val dv = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" % 10 === 0)
+        .select(($"vec_id" + 1000000).as("vec_id"), $"embedding"))
+    val pairs = dv.select($"vec_id".as("id1"))
+      .join(dv.select($"vec_id".as("id2")), col("id1") < col("id2"))
+    val brute = Similarity.cosineNearDup(dv, "vec_id", "embedding", pairs, 0.95)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaLsh = Similarity.cosineNearDup(dv, "vec_id", "embedding",
+      Similarity.lshPairs(dv, "vec_id", "embedding", planes = 6, rotations = 4), 0.95)
+      .as[(Long, Long, Long)].collect().toSet
+    // planted exact copies: every 10th id pairs with its clone at cos≈1
+    val planted = emb.filter($"vec_id" % 10 === 0).select($"vec_id")
+      .as[Long].collect().map(id => (id, id + 1000000)).toSet
+    assert(brute.map(r => (r._1, r._2)) == planted)
+    assert(viaLsh == brute, "LSH candidates missed a ≥-threshold pair")
+    assert(brute.forall(_._3 >= 950))
+  }
+
   test("deterministic: same plan twice gives identical rows") {
     val a = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3)
       .as[(Long, Long, Long)].collect().toSet
