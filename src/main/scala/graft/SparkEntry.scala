@@ -77,6 +77,15 @@ object SparkEntry {
       GapFill.linear(Rollup.rollupRaw(turns(s, dir), Tier.Hour),
         "text_len_sum", Tier.Hour)),
 
+    // --- gap-fill mode family: LOCF (dashboard mode) and zero (the
+    // correct fill for additive counts) over the same dense grid ---
+    "q_gapfill_locf_1h" -> ((s, dir) =>
+      GapFill.locf(Rollup.rollupRaw(turns(s, dir), Tier.Hour),
+        "text_len_sum", Tier.Hour)),
+    "q_gapfill_zero_1h" -> ((s, dir) =>
+      GapFill.zero(Rollup.rollupRaw(turns(s, dir), Tier.Hour),
+        "turn_cnt", Tier.Hour)),
+
     // --- Gorilla chunk encode→decode round-trip, distributed (§2.9) ---
     "q_chunk_roundtrip" -> ((s, dir) => {
       val m1 = Rollup.rollupRaw(turns(s, dir), Tier.Minute)
@@ -526,6 +535,38 @@ object SparkEntry {
            |         (CAST(epoch(nt) AS DOUBLE) - CAST(epoch(pt) AS DOUBLE)) END AS value,
            |  (v IS NULL) AS filled
            |FROM w""".stripMargin),
+      "q_gapfill_locf_1h" -> withTurns(
+        s"""WITH t AS (${Rollup.oracleSql(Tier.Hour)}),
+           |grid AS (
+           |  SELECT conv_id,
+           |    unnest(generate_series(min(bucket_ts), max(bucket_ts),
+           |      INTERVAL 1 HOUR)) AS bucket_ts
+           |  FROM t GROUP BY conv_id),
+           |j AS (
+           |  SELECT g.conv_id, g.bucket_ts, CAST(t.text_len_sum AS DOUBLE) AS v
+           |  FROM grid g LEFT JOIN t
+           |    ON t.conv_id = g.conv_id AND t.bucket_ts = g.bucket_ts)
+           |SELECT conv_id, bucket_ts,
+           |  last_value(v IGNORE NULLS) OVER (PARTITION BY conv_id
+           |    ORDER BY bucket_ts
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           |  (v IS NULL) AS filled
+           |FROM j""".stripMargin),
+      "q_gapfill_zero_1h" -> withTurns(
+        s"""WITH t AS (${Rollup.oracleSql(Tier.Hour)}),
+           |grid AS (
+           |  SELECT conv_id,
+           |    unnest(generate_series(min(bucket_ts), max(bucket_ts),
+           |      INTERVAL 1 HOUR)) AS bucket_ts
+           |  FROM t GROUP BY conv_id),
+           |j AS (
+           |  SELECT g.conv_id, g.bucket_ts, CAST(t.turn_cnt AS DOUBLE) AS v
+           |  FROM grid g LEFT JOIN t
+           |    ON t.conv_id = g.conv_id AND t.bucket_ts = g.bucket_ts)
+           |SELECT conv_id, bucket_ts,
+           |  coalesce(v, 0.0) AS value,
+           |  (v IS NULL) AS filled
+           |FROM j""".stripMargin),
       "q_chunk_roundtrip" -> withTurns(
         s"""SELECT conv_id, bucket_ts, CAST(text_len_sum AS DOUBLE) AS text_len
            |FROM (${Rollup.oracleSql(Tier.Minute)}) t""".stripMargin),

@@ -64,4 +64,47 @@ object GapFill {
         .as("value"),
       col("_v").isNull.as("filled"))
   }
+
+  /** Last-observation-carried-forward fill: gaps take the previous
+    * observed value (the standard monitoring-dashboard mode). Same
+    * grid/window machinery as [[linear]], one window pass.
+    */
+  def locf(tierRows: DataFrame, valueCol: String, tier: Tier): DataFrame = {
+    val step = expr(s"INTERVAL ${tier.millis / 1000} SECONDS")
+    val grid = tierRows
+      .groupBy(col("conv_id"))
+      .agg(min(col("bucket_ts")).as("lo"), max(col("bucket_ts")).as("hi"))
+      .select(col("conv_id"),
+        explode(sequence(col("lo"), col("hi"), step)).as("bucket_ts"))
+    val joined = grid.join(
+      tierRows.select(col("conv_id"), col("bucket_ts"),
+        col(valueCol).cast("double").as("_v")),
+      Seq("conv_id", "bucket_ts"), "left")
+    val back = Window.partitionBy(col("conv_id")).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(
+      col("conv_id"), col("bucket_ts"),
+      last(col("_v"), ignoreNulls = true).over(back).as("value"),
+      col("_v").isNull.as("filled"))
+  }
+
+  /** Zero fill: gaps become 0 — correct for additive count metrics
+    * (a bucket with no turns has zero turns, not "unknown turns").
+    */
+  def zero(tierRows: DataFrame, valueCol: String, tier: Tier): DataFrame = {
+    val step = expr(s"INTERVAL ${tier.millis / 1000} SECONDS")
+    val grid = tierRows
+      .groupBy(col("conv_id"))
+      .agg(min(col("bucket_ts")).as("lo"), max(col("bucket_ts")).as("hi"))
+      .select(col("conv_id"),
+        explode(sequence(col("lo"), col("hi"), step)).as("bucket_ts"))
+    grid.join(
+        tierRows.select(col("conv_id"), col("bucket_ts"),
+          col(valueCol).cast("double").as("_v")),
+        Seq("conv_id", "bucket_ts"), "left")
+      .select(
+        col("conv_id"), col("bucket_ts"),
+        coalesce(col("_v"), lit(0.0d)).as("value"),
+        col("_v").isNull.as("filled"))
+  }
 }

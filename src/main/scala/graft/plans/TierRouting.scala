@@ -34,10 +34,14 @@ import graft.model.Tier
   * plan):
   *
   *  - the path from the Aggregate to the scan must contain ONLY
-  *    Project / SubqueryAlias nodes. Anything else — Filter, Limit,
-  *    Sample, ... — is a predicate the tier table cannot answer, so
-  *    the rule refuses (a dropped Filter silently returns unfiltered
-  *    totals — the classic materialized-view-matching bug).
+  *    Project / SubqueryAlias nodes, plus Filters whose predicate
+  *    references nothing but the grouping key `conv_id` — those are
+  *    TRANSLATED onto the tier scan (conv_id is a tier column, so
+  *    the filtered partials fold to the filtered raw answer).
+  *    Anything else — a Filter on a pre-aggregated column, Limit,
+  *    Sample, ... — cannot be answered by the tier table, so the
+  *    rule refuses (a dropped Filter silently returning unfiltered
+  *    totals is the classic materialized-view-matching bug).
   *  - the serving directory must exist AND be fresh: `publishServing`
   *    stamps the raw-table snapshot each tier reflects into
   *    `serve/WATERMARKS`; the rule compares that against the raw
@@ -125,21 +129,35 @@ object TierRouting {
 
   object RouteToTier extends Rule[LogicalPlan] {
 
-    /** The scan beneath the aggregate — ONLY through Project /
-      * SubqueryAlias. A Filter (or any other operator) between the
-      * aggregate and the scan makes the rewrite unsound: the tier
-      * table has pre-aggregated those rows away, so bail out.
+    /** The scan beneath the aggregate plus any Filter conditions met
+      * on the way — ONLY through Project / SubqueryAlias / Filter.
+      * Any other operator makes the rewrite unsound → None.
+      *
+      * Filters are legal ONLY when their predicate references nothing
+      * but `conv_id`: conv_id is a tier grouping column, so the same
+      * predicate applied to the tier scan selects exactly the rows
+      * whose partials fold to the raw answer. A predicate touching
+      * any pre-aggregated column (text, role, tool, ts, ...) cannot
+      * be answered by the tier table — the caller must bail out.
       */
-    private def routableScan(plan: LogicalPlan): Option[LogicalRelation] =
+    private def routableScan(plan: LogicalPlan)
+        : Option[(LogicalRelation, Seq[Expression])] =
       plan match {
-        case lr @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) => Some(lr)
+        case lr @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) =>
+          Some((lr, Seq.empty))
         case p: Project => routableScan(p.child)
         case s: SubqueryAlias => routableScan(s.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.references.nonEmpty &&
+              f.condition.references.forall(_.name == "conv_id") =>
+          routableScan(f.child).map { case (lr, conds) =>
+            (lr, f.condition +: conds)
+          }
         case _ => None
       }
 
-    private def rawWarehouse(plan: LogicalPlan): Option[String] =
-      routableScan(plan).flatMap {
+    private def rawWarehouse(lr: LogicalRelation): Option[String] =
+      lr match {
         case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
           val paths = fs.location.rootPaths.map(_.toString)
           catalog.collectFirst {
@@ -211,7 +229,8 @@ object TierRouting {
         val tbOpt = groupings.flatMap(g => resolveTierBucket(g, child)).headOption
         val routed = for {
           tb <- tbOpt
-          wh <- rawWarehouse(child)
+          (scan, keyConds) <- routableScan(child)
+          wh <- rawWarehouse(scan)
           _ <- groupings.collectFirst {
             case a: Attribute if a.name == "conv_id" => a }
           tbAttrIds = groupings.collect {
@@ -220,13 +239,21 @@ object TierRouting {
           (tierPlan, served) <- pickServingTier(wh, Tier(tb.tierName))
           out = tierPlan.output.map(a => a.name -> a).toMap
           if out.contains("conv_id") && out.contains("bucket_ts")
+          // conv_id-only predicates translate onto the tier scan (the
+          // tier is grouped by conv_id, so filtering its rows selects
+          // exactly the partials that fold to the filtered raw answer)
+          filtered = keyConds.foldLeft(tierPlan) { (p, cond) =>
+            org.apache.spark.sql.catalyst.plans.logical.Filter(
+              cond.transform { case a: Attribute if a.name == "conv_id" =>
+                out("conv_id") }, p)
+          }
           // exact tier: its bucket_ts IS the requested bucket; finer
           // tier: re-floor its bucket_ts to the requested width
           bucketExpr = if (served.name == tb.tierName) out("bucket_ts")
             else TierBucket(out("bucket_ts"), tb.tierName)
           mapped <- mapAll(aggExprs, tbAttrIds, out, bucketExpr)
         } yield Aggregate(
-          Seq(out("conv_id"), bucketExpr), mapped, tierPlan)
+          Seq(out("conv_id"), bucketExpr), mapped, filtered)
         routed.getOrElse(agg)
     }
 

@@ -44,4 +44,37 @@ object StreamingRollup {
       .start()
     q.awaitTermination()
   }
+
+  /** The native Structured-Streaming rollup: event-time watermark +
+    * tumbling window over the SAME algebraic metric set as the batch
+    * tiers (`Rollup.rawAggs` shape), state bounded by the watermark.
+    * Use when a continuously-running query (not the batch-incremental
+    * store) should serve the finest tier; its output rows fold with
+    * `Rollup.foldAggs` exactly like any tier.
+    *
+    * Late data beyond `lateness` is dropped by the watermark — the
+    * streaming-world analog of the batch pipeline's snapshot
+    * watermark, trading the batch path's perfect replay for bounded
+    * state. Output mode append: a window emits once, when the
+    * watermark passes its end.
+    */
+  def windowedRollup(stream: DataFrame, tier: graft.model.Tier,
+      lateness: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val winSpec = tier.millis / 1000L + " seconds"
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(col("conv_id"), window(col("ts"), winSpec).as("w"))
+      .agg(
+        count(lit(1)).as("turn_cnt"),
+        count(col("tool")).as("tool_cnt"),
+        sum(length(col("text")).cast("long")).as("text_len_sum"),
+        min(length(col("text")).cast("long")).as("text_len_min"),
+        max(length(col("text")).cast("long")).as("text_len_max"),
+        count(when(col("role") === "user", 1)).as("role_user_cnt"),
+        count(when(col("role") === "assistant", 1)).as("role_assistant_cnt"),
+        count(when(col("role") === "tool", 1)).as("role_tool_cnt"))
+      .select((col("conv_id") +: col("w.start").as("bucket_ts") +:
+        graft.rollup.Rollup.metricCols.map(col)): _*)
+  }
 }

@@ -53,4 +53,30 @@ class AppSpec extends SparkSuite {
     GraftApp.run(spark, Array("vacuum", wh, "1"))
     assert(store.readTurns().count() == rowsBefore)
   }
+
+  test("windowed streaming rollup equals the batch tier for closed windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val turns = TranscriptGen.generate(spark, 6, 15, seed = 52L).collect().toSeq
+    val ms = MemoryStream[graft.model.Turn]
+    val out = StreamingRollup.windowedRollup(ms.toDF(), Tier.Minute)
+    val q = out.writeStream.format("memory").queryName("win_rollup")
+      .outputMode("append").start()
+    ms.addData(turns)
+    q.processAllAvailable()
+    // a far-future flush row pushes the watermark past every real
+    // window so append mode emits them all
+    val maxTs = turns.map(_.ts.getTime).max
+    ms.addData(Seq(graft.model.Turn("zz-flush", 0, "user", "x", None,
+      new java.sql.Timestamp(maxTs + 86400000L))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win_rollup")
+      .filter($"conv_id" =!= "zz-flush")
+      .as[graft.model.TierRow].collect().toSet
+    val want = Rollup.rollupRaw(turns.toDF(), Tier.Minute)
+      .as[graft.model.TierRow].collect().toSet
+    assert(got == want, s"streaming windows diverge: ${got.size} vs ${want.size}")
+    assert(got.nonEmpty)
+  }
 }

@@ -61,4 +61,21 @@ class GapFillSpec extends SparkSuite {
       .filter($"filled").count()
     assert(filled > 0, "fixture produced no gaps")
   }
+
+  test("locf carries the previous observation; zero fills additive gaps with 0") {
+    val rows = Seq(
+      ("c1", ts(0), 10L), ("c1", ts(1), 20L), ("c1", ts(4), 50L))
+      .toDF("conv_id", "bucket_ts", "text_len_sum")
+    val locf = GapFill.locf(rows, "text_len_sum", Tier.Minute)
+      .orderBy("bucket_ts")
+      .as[(String, Timestamp, Double, Boolean)].collect().toSeq
+    assert(locf == Seq(
+      ("c1", ts(0), 10.0, false), ("c1", ts(1), 20.0, false),
+      ("c1", ts(2), 20.0, true), ("c1", ts(3), 20.0, true),
+      ("c1", ts(4), 50.0, false)))
+    val zero = GapFill.zero(rows, "text_len_sum", Tier.Minute)
+      .orderBy("bucket_ts")
+      .as[(String, Timestamp, Double, Boolean)].collect().toSeq
+    assert(zero.map(_._3) == Seq(10.0, 20.0, 0.0, 0.0, 50.0))
+  }
 }

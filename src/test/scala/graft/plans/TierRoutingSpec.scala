@@ -138,6 +138,27 @@ class TierRoutingSpec extends SparkSuite {
     assert(scannedPaths(qAll).exists(_.contains("serve/tier_1h")))
   }
 
+  test("a conv_id-only Filter is TRANSLATED onto the tier scan, not bailed") {
+    val turns = TranscriptGen.generate(spark, 8, 20, seed = 76L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    def q = spark.read.parquet(rawDir)
+      .filter($"conv_id" =!= "conv-000003")
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"),
+        sum(length($"text").cast("long")).as("text_len_sum"))
+    assert(scannedPaths(q).exists(_.contains("serve/tier_1h")),
+      q.queryExecution.optimizedPlan.toString)
+    val expected = turns
+      .filter($"conv_id" =!= "conv-000003")
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"),
+        sum(length($"text").cast("long")).as("text_len_sum"))
+      .as[(String, java.sql.Timestamp, Long, Long)].collect().toSet
+    val got = q.as[(String, java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(!got.exists(_._1 == "conv-000003"), "filter was dropped")
+  }
+
   test("unpublished warehouse falls through to the raw scan (no optimizer crash)") {
     val turns = TranscriptGen.generate(spark, 6, 15, seed = 72L).toDF()
     val (rawDir, _, _) = mkStore(turns, publish = false)
