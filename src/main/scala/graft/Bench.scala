@@ -49,7 +49,10 @@ object Bench {
       import org.apache.spark.sql.functions.col
       val base = Files.createTempDirectory("graft-bench-").toString
       val input = s"$base/turns"
-      TranscriptGen.generate(spark, 2000, 500, seed = 42L, hotShare = 0.1,
+      // ~9M turns: large enough that the cascade measures engine
+      // throughput, not fixed job overhead (the 93M-turn evidence
+      // lives in ScalingBench / BENCH/BASELINE.md)
+      TranscriptGen.generate(spark, 8000, 800, seed = 42L, hotShare = 0.1,
           maxDeltaSecs = 15, partitions = 64)
         .toDF()
         .repartition(64, col("conv_id"), Rollup.bucket(col("ts"), Tier.Hour))

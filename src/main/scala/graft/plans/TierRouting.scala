@@ -288,9 +288,19 @@ object TierRouting {
 }
 
 /** `withExtensions` registration for cluster deployments:
-  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` — the
+  * optimizer rule plus the SQL functions
+  * ([[graft.functions.GraftFunctions]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TierRouting.RouteToTier)
+    graft.functions.GraftFunctions.all.foreach { case (name, builder, usage) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage),
+        builder))
+    }
+  }
 }

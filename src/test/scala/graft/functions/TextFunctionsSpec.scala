@@ -31,6 +31,21 @@ class TextFunctionsSpec extends SparkSuite {
       s"fingerprints diverge: got=$got expected=${texts.map(oracleFingerprint)}")
   }
 
+  test("SQL surface: graft_fingerprint / graft_dot / tier_bucket via spark.sql") {
+    GraftFunctions.register(spark)
+    Seq(("héllo wörld", Array(1.0, 2.0), Array(3.0, 4.0)))
+      .toDF("text", "a", "b").createOrReplaceTempView("gf_test")
+    val row = spark.sql(
+      """SELECT graft_fingerprint(text) AS fp,
+        |  graft_dot(a, b) AS d,
+        |  date_format(tier_bucket(TIMESTAMP '2024-01-01 10:31:22', '1h'),
+        |    'yyyy-MM-dd HH:mm:ss') AS b1h
+        |FROM gf_test""".stripMargin).head()
+    assert(row.getLong(0) == oracleFingerprint("héllo wörld"))
+    assert(row.getDouble(1) == 11.0)
+    assert(row.getString(2) == "2024-01-01 10:00:00")
+  }
+
   test("fingerprint is order-sensitive and stable") {
     val fps = Seq("ab", "ba", "ab").toDF("text")
       .select(TextFunctions.fingerprint($"text").as("fp"))
