@@ -92,6 +92,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(scale.contains("Join"), scale)
   }
 
+  test("q_conv_wide pivot stays one map-side-combined aggregate (no hidden distinct job in the plan)") {
+    val p = plan("q_conv_wide")
+    assert(p.contains("partial_"), s"pivot lost partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_asof_align is a window over a union, never a range join") {
+    val p = plan("q_asof_align")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of degraded to nested loop:\n$p")
+  }
+
+  test("q_embed_neardup_lsh candidate generation is equi-join only") {
+    val p = plan("q_embed_neardup_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup scale path has an all-pairs join:\n$p")
+  }
+
   test("whole-stage codegen spans the rollup aggregate") {
     // AQE shows only the stub pre-execution; run the query so the
     // final plan (with codegen spans) materializes

@@ -187,6 +187,24 @@ class TierRoutingSpec extends SparkSuite {
     assert(scannedPaths(q).exists(_.contains("serve/tier_1h")))
   }
 
+  test("a pure-SQL query using tier_bucket() routes to the tier table") {
+    val turns = TranscriptGen.generate(spark, 6, 15, seed = 77L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(rawDir).createOrReplaceTempView("raw_turns_sql")
+    def q = spark.sql(
+      """SELECT conv_id, tier_bucket(ts, '1h') AS bucket_ts,
+        |  count(*) AS turn_cnt, count(tool) AS tool_cnt
+        |FROM raw_turns_sql GROUP BY 1, 2""".stripMargin)
+    assert(scannedPaths(q).exists(_.contains("serve/tier_1h")),
+      q.queryExecution.optimizedPlan.toString)
+    val expected = turns
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"), count($"tool").as("tool_cnt"))
+      .as[(String, java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(q.as[(String, java.sql.Timestamp, Long, Long)].collect().toSet == expected)
+  }
+
   test("1d request with no 1d serving dir folds the 1h tier") {
     val turns = TranscriptGen.generate(spark, 10, 25, seed = 75L).toDF()
     val (rawDir, wh, _) = mkStore(turns, publish = true)
