@@ -19,6 +19,7 @@ import graft.rollup.TranscriptStore
   *   gen     <warehouse> <nConvs> <avgTurns>   ingest synthetic turns
   *   rollup  <warehouse>                       incremental 1m/1h/1d cascade
   *   retain  <warehouse> <today> raw=N 1m=N 1h=N 1d=N
+  *   compact <warehouse> [minFiles]            rewrite multi-file partitions
   *   vacuum  <warehouse> [retainSnapshots]     reclaim unreferenced bytes
   *   publish <warehouse>                       publish serving dirs + watermarks
   *   status  <warehouse>                       snapshots + tier row counts
@@ -71,6 +72,11 @@ object GraftApp {
         val dropped = store.retain(ttls, today)
         val body = dropped.map { case (k, v) => s""""$k":$v""" }.mkString(",")
         println(s"""{"op":"retain","dropped_partitions":{$body}}""")
+      case "compact" =>
+        val minFiles = if (args.length > 2) args(2).toInt else 2
+        val sids = store.compactAll(minFiles)
+        val body = sids.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        println(s"""{"op":"compact","snapshots":{$body}}""")
       case "vacuum" =>
         val retain = if (args.length > 2) args(2).toInt else 1
         val freed = store.vacuum(retain)

@@ -233,6 +233,15 @@ final class TranscriptStore(
       drop(tier1d, "1d")).flatten.toMap
   }
 
+  /** Compact multi-file partitions across every table (S11's
+    * compaction as a first-class maintenance op); pair with
+    * [[vacuum]] to actually reclaim the superseded bytes.
+    */
+  def compactAll(minFiles: Int = 2): Map[String, Long] =
+    Seq("raw" -> raw, "1m" -> tier1m, "1h" -> tier1h, "1d" -> tier1d,
+      "metrics" -> metrics)
+      .map { case (n, t) => n -> t.compact(minFiles = minFiles) }.toMap
+
   /** Reclaim bytes across every table: delete data files referenced
     * by no retained snapshot (run after [[retain]], whose partition
     * drops are metadata-only). Returns table → (files, bytes) freed.

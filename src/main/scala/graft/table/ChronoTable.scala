@@ -242,6 +242,33 @@ final class ChronoTable private (
       summary: Map[String, String] = Map.empty): Long =
     overwritePartitions(expired, None, op = "retention-drop", summary = summary)
 
+  /** Small-file compaction (the third Iceberg maintenance op next to
+    * retention and [[vacuum]]): rewrite every partition matching
+    * `select` whose live file count exceeds `minFiles` into one file
+    * per partition, in a single copy-on-write commit. Rows are
+    * byte-identical; only the file layout (and per-row `batch_id`
+    * lineage, which coarsens to the compaction's own snapshot id, as
+    * in Iceberg's rewrite_data_files) changes. Returns the snapshot
+    * id, or the current one when nothing qualifies.
+    */
+  def compact(select: Map[String, String] => Boolean = _ => true,
+      minFiles: Int = 2): Long = {
+    val live = currentSnapshot.map(_.files).getOrElse(Seq.empty)
+    val byPartition = live.groupBy(_.partition)
+    val targets = byPartition.filter { case (p, fs) =>
+      fs.size >= minFiles && select(parsePartition(p))
+    }
+    if (targets.isEmpty) return currentSnapshotId
+    val base = readFiles(targets.values.flatten.toSeq).drop("batch_id")
+    val rewritten =
+      if (partitionCols.isEmpty) base.coalesce(1)
+      else base.repartition(partitionCols.map(col): _*)
+    overwritePartitions(
+      p => targets.keys.exists(k => parsePartition(k) == p),
+      Some(rewritten), op = "compact",
+      summary = Map("compacted_partitions" -> targets.size.toString))
+  }
+
   /** Repoint CURRENT at an earlier snapshot (time travel / rollback). */
   def rollback(toSnapshotId: Long): Unit = {
     require(snapshot(toSnapshotId).isDefined, s"no snapshot $toSnapshotId")

@@ -50,6 +50,7 @@ class AppSpec extends SparkSuite {
     assert(java.nio.file.Files.exists(
       graft.plans.TierRouting.watermarksPath(wh)))
     val rowsBefore = store.readTurns().count()
+    GraftApp.run(spark, Array("compact", wh))
     GraftApp.run(spark, Array("vacuum", wh, "1"))
     assert(store.readTurns().count() == rowsBefore)
   }

@@ -26,6 +26,21 @@ class DynamicPivotSpec extends SparkSuite {
     assert(!byConv.contains("c3"))
   }
 
+  test("handles the reference's >1000-dynamic-columns shape") {
+    // TraceInOneRowExploder.py:2-21: ">1000 and not static" columns
+    val wide = (0 until 3000).map(i => (s"c${i % 3}", f"m${i % 1200}%04d"))
+      .toDF("conv_id", "tool")
+    val out = DynamicPivot.pivotWide(wide, Seq("conv_id"), "tool",
+      count(lit(1)), prefix = "m_")
+    assert(out.columns.length == 1201, s"got ${out.columns.length}")
+    assert(out.count() == 3)
+    // m0000 occurs at i ∈ {0,1200,2400}, all ≡ 0 (mod 3) → conv c0 ×3;
+    // m0001 occurs only at i ≡ 1 (mod 3) → conv c0 never sees it
+    val r = out.filter($"conv_id" === "c0").head()
+    assert(r.getAs[Long]("m_m0000") == 3L)
+    assert(r.getAs[Long]("m_m0001") == 0L)
+  }
+
   test("maxColumns guards runaway vocabularies") {
     val many = (0 until 50).map(i => ("c", s"v$i")).toDF("conv_id", "tool")
     intercept[IllegalArgumentException] {

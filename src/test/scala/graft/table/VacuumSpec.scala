@@ -105,6 +105,31 @@ class VacuumSpec extends SparkSuite {
     assert(t.readRange(earlyBounds._1, earlyBounds._2).count() == early.count())
   }
 
+  test("compaction rewrites multi-file partitions to one file each, rows identical") {
+    val t = mkTable()
+    t.append(dayTurns(3, 11L))
+    t.append(dayTurns(3, 12L))
+    t.append(dayTurns(3, 13L))
+    val before = t.read().select($"conv_id", $"turn_idx", $"text")
+      .collect().map(_.toString).sorted.toSeq
+    val filesPerPartBefore = t.currentSnapshot.get.files
+      .groupBy(_.partition).values.map(_.size).max
+    assert(filesPerPartBefore >= 2, "fixture produced single-file partitions")
+    t.compact()
+    val byPart = t.currentSnapshot.get.files.groupBy(_.partition)
+    assert(byPart.values.forall(_.size == 1),
+      s"partitions still multi-file: ${byPart.view.mapValues(_.size).toMap}")
+    val after = t.read().select($"conv_id", $"turn_idx", $"text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // compaction + vacuum = bytes actually reclaimed
+    val (nFiles, _) = t.vacuum()
+    assert(nFiles > 0)
+    assert(t.read().count() == before.size)
+    // stats survive the rewrite (compacted files carry fresh min/max)
+    assert(t.currentSnapshot.get.files.forall(_.minTsUs.isDefined))
+  }
+
   test("tables without a stats column never prune") {
     val t = mkTable(statsCol = None)
     t.append(dayTurns(2, 8L))
