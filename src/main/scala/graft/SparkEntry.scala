@@ -302,17 +302,16 @@ object SparkEntry {
     // iterative BFS self-join over a per-conversation edge table
     // (parent = (turn_idx-1)//2, a binary tree), per-tree depth stats
     // joined back per node — oracled by a DuckDB recursive CTE ---
-    "q_tree_depth" -> ((s, dir) => {
-      val edges = turns(s, dir).select(
-        col("conv_id"),
-        col("turn_idx").as("node"),
-        when(col("turn_idx") === 0, lit(null).cast("int"))
-          .otherwise(floor((col("turn_idx") - 1) / 2).cast("int")).as("parent"))
-      TreeDepth.withDepthStats(
-        TreeDepth.depths(edges, "conv_id", "node", "parent"), "conv_id")
-        .select(col("conv_id"), col("node").cast("int").as("turn_idx"),
-          col("depth"), col("depth_max"), col("depth_sum"), col("node_cnt"))
-    }),
+    "q_tree_depth" -> ((s, dir) =>
+      treeDepthQuery(s, dir, TreeDepth.depths(_, "conv_id", "node", "parent"))),
+
+    // --- same semantics via pointer doubling: O(log height) rounds of
+    // full self-joins — the shape that survives chain-deep hierarchies
+    // where BFS's height-many rounds would not. Shares q_tree_depth's
+    // recursive-CTE oracle: both algorithms must hash-match it ---
+    "q_tree_depth_doubling" -> ((s, dir) =>
+      treeDepthQuery(s, dir,
+        TreeDepth.depthsByDoubling(_, "conv_id", "node", "parent"))),
 
     // ================= training-data pipeline operators =================
 
@@ -439,6 +438,22 @@ object SparkEntry {
     docs.unionByName(
       docs.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** Shared body of the two tree-depth queries: binary-tree edges per
+    * conversation (parent = (turn_idx-1)//2), per-node depth by the
+    * given algorithm, per-tree stats joined back.
+    */
+  private def treeDepthQuery(s: SparkSession, dir: String,
+      algo: DataFrame => DataFrame): DataFrame = {
+    val edges = turns(s, dir).select(
+      col("conv_id"),
+      col("turn_idx").as("node"),
+      when(col("turn_idx") === 0, lit(null).cast("int"))
+        .otherwise(floor((col("turn_idx") - 1) / 2).cast("int")).as("parent"))
+    TreeDepth.withDepthStats(algo(edges), "conv_id")
+      .select(col("conv_id"), col("node").cast("int").as("turn_idx"),
+        col("depth"), col("depth_max"), col("depth_sum"), col("node_cnt"))
   }
 
   /** embeddings ∪ exact copies of every 10th vector (re-id'd) — the
@@ -647,31 +662,8 @@ object SparkEntry {
           |  FROM turns WHERE tool IS NOT NULL
           |  GROUP BY conv_id, tool)
           |WHERE rn = 1""".stripMargin),
-      // manual WITH RECURSIVE (withTurns can't splice the keyword:
-      // RECURSIVE must lead the CTE list and then applies to all)
-      "q_tree_depth" ->
-        s"""WITH RECURSIVE turns AS (
-           |${TranscriptGen.eventsToTurnsSql}
-           |),
-           |edges AS (
-           |  SELECT conv_id, turn_idx AS node,
-           |    CASE WHEN turn_idx = 0 THEN NULL
-           |         ELSE CAST((turn_idx - 1) // 2 AS INT) END AS parent
-           |  FROM turns),
-           |d AS (
-           |  SELECT conv_id, node, CAST(0 AS BIGINT) AS depth
-           |  FROM edges WHERE parent IS NULL
-           |  UNION ALL
-           |  SELECT e.conv_id, e.node, d.depth + 1
-           |  FROM edges e JOIN d ON e.conv_id = d.conv_id AND e.parent = d.node),
-           |stats AS (
-           |  SELECT conv_id, CAST(max(depth) AS BIGINT) AS depth_max,
-           |    CAST(sum(depth) AS BIGINT) AS depth_sum,
-           |    count(*) AS node_cnt
-           |  FROM d GROUP BY conv_id)
-           |SELECT d.conv_id, CAST(d.node AS INT) AS turn_idx, d.depth,
-           |  s.depth_max, s.depth_sum, s.node_cnt
-           |FROM d JOIN stats s ON s.conv_id = d.conv_id""".stripMargin,
+      "q_tree_depth" -> treeDepthOracleSql,
+      "q_tree_depth_doubling" -> treeDepthOracleSql,
       "q_semi_join" -> withTurns(
         """SELECT DISTINCT conv_id FROM turns t1
           |WHERE EXISTS (SELECT 1 FROM turns t2
@@ -824,6 +816,34 @@ object SparkEntry {
           |  CAST(unnest(generate_series(0, CAST(doc_id % 30 AS INT), 5)) AS INT) AS frame_ts_s
           |FROM documents WHERE doc_id % 3 = 2""".stripMargin)
   }
+
+  /** One oracle for BOTH tree-depth algorithms (BFS and pointer
+    * doubling): a manual WITH RECURSIVE — withTurns can't splice the
+    * keyword, RECURSIVE must lead the CTE list and then covers all.
+    */
+  private def treeDepthOracleSql: String =
+    s"""WITH RECURSIVE turns AS (
+       |${TranscriptGen.eventsToTurnsSql}
+       |),
+       |edges AS (
+       |  SELECT conv_id, turn_idx AS node,
+       |    CASE WHEN turn_idx = 0 THEN NULL
+       |         ELSE CAST((turn_idx - 1) // 2 AS INT) END AS parent
+       |  FROM turns),
+       |d AS (
+       |  SELECT conv_id, node, CAST(0 AS BIGINT) AS depth
+       |  FROM edges WHERE parent IS NULL
+       |  UNION ALL
+       |  SELECT e.conv_id, e.node, d.depth + 1
+       |  FROM edges e JOIN d ON e.conv_id = d.conv_id AND e.parent = d.node),
+       |stats AS (
+       |  SELECT conv_id, CAST(max(depth) AS BIGINT) AS depth_max,
+       |    CAST(sum(depth) AS BIGINT) AS depth_sum,
+       |    count(*) AS node_cnt
+       |  FROM d GROUP BY conv_id)
+       |SELECT d.conv_id, CAST(d.node AS INT) AS turn_idx, d.depth,
+       |  s.depth_max, s.depth_sum, s.node_cnt
+       |FROM d JOIN stats s ON s.conv_id = d.conv_id""".stripMargin
 
   /** One oracle for BOTH near-dup variants: the same left-to-right
     * double summation as the engine's DotProduct (bit-identical), so

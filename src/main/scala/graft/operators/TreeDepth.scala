@@ -65,6 +65,63 @@ object TreeDepth {
     } finally e.unpersist()
   }
 
+  /** Per-node depth via POINTER DOUBLING (path halving): round k
+    * rewrites each node's tracked ancestor to its 2^k-th ancestor,
+    * accumulating walked-edge counts, until every surviving walk has
+    * reached a root. O(log2(height)) rounds of full self-joins —
+    * the complement of [[depths]]:
+    *
+    *  - BFS: `height` rounds, each joining only the frontier —
+    *    cheapest for the wide-and-shallow forests traces usually are
+    *    (Σ frontier sizes = n total rows joined);
+    *  - doubling: `log2(height)` rounds, each a full n-row self-join
+    *    (n·log2(height) rows joined) — the ONLY viable shape when
+    *    height is data-proportional (a 10^6-turn chained
+    *    conversation: 20 rounds instead of 10^6).
+    *
+    * Same output and same cycle semantics as [[depths]] (nodes whose
+    * ancestor walk never reaches a root are not emitted).
+    */
+  def depthsByDoubling(edges: DataFrame, treeCol: String, nodeCol: String,
+      parentCol: String, maxIter: Int = 40): DataFrame = {
+    // state: (tree, node, anc, d) — anc = the current 2^k-ancestor
+    // (null once the walk reached a root), d = edges walked so far
+    var state = edges.select(
+      col(treeCol).as("_tree"), col(nodeCol).as("_node"),
+      col(parentCol).as("_anc"),
+      when(col(parentCol).isNull, 0L).otherwise(1L).as("_d"))
+      .localCheckpoint()
+    // Convergence + cycle cut in one counter: in an ACYCLIC forest
+    // every doubling round strictly shrinks the live (anc != null)
+    // set — a node at depth ≥ 2^(k+1) has an ancestor at some depth
+    // in [2^k, 2^(k+1)) that resolves this round. A round that fails
+    // to shrink it therefore proves the remaining walks are cyclic:
+    // stop and drop them (recursive-CTE semantics) instead of
+    // burning maxIter rounds doubling their counters.
+    var live = state.filter(col("_anc").isNotNull).count()
+    var prev = Long.MaxValue
+    var i = 0
+    while (live > 0 && live < prev && i < maxIter) {
+      prev = live
+      val lookup = state.select(col("_tree"), col("_node").as("_k"),
+        col("_anc").as("_kanc"), col("_d").as("_kd"))
+      state = state
+        .join(lookup, Seq("_tree"))
+        .filter(col("_anc") === col("_k") ||
+          (col("_anc").isNull && col("_k") === col("_node")))
+        .select(col("_tree"), col("_node"),
+          when(col("_anc").isNull, lit(null)).otherwise(col("_kanc")).as("_anc"),
+          when(col("_anc").isNull, col("_d"))
+            .otherwise(col("_d") + col("_kd")).as("_d"))
+        .localCheckpoint()
+      live = state.filter(col("_anc").isNotNull).count()
+      i += 1
+    }
+    state.filter(col("_anc").isNull)
+      .select(col("_tree").as(treeCol), col("_node").as(nodeCol),
+        col("_d").as("depth"))
+  }
+
   /** Join per-tree depth stats back onto every node (reference
     * TreeBuilder.py:58-64 / contest_tree get_depth_stat_of_node):
     * depth_max, depth_sum, node_cnt per tree — integral, mean is

@@ -43,6 +43,28 @@ class TreeDepthSpec extends SparkSuite {
     assert(got.count() == 6)
   }
 
+  test("pointer doubling equals BFS on the forest (and drops the cycle)") {
+    val cyclic = edges.unionByName(
+      Seq(("t3", "p", Some("q")), ("t3", "q", Some("p"))).toDF("tree", "node", "parent"))
+    val bfs = TreeDepth.depths(cyclic, "tree", "node", "parent")
+      .as[(String, String, Long)].collect().toSet
+    val dbl = TreeDepth.depthsByDoubling(cyclic, "tree", "node", "parent")
+      .as[(String, String, Long)].collect().toSet
+    assert(dbl == bfs)
+  }
+
+  test("doubling resolves a 200-deep chain within log2 rounds (maxIter 10)") {
+    val chain = (0 until 200).map(i =>
+      ("c", f"n$i%03d", if (i == 0) None else Some(f"n${i - 1}%03d")))
+      .toDF("tree", "node", "parent")
+    // 10 rounds cover height 2^10 = 1024 ≥ 200; BFS would need 200
+    val got = TreeDepth.depthsByDoubling(chain, "tree", "node", "parent",
+      maxIter = 10).as[(String, String, Long)].collect()
+    assert(got.length == 200)
+    assert(got.map(r => r._2 -> r._3).toMap == (0 until 200)
+      .map(i => f"n$i%03d" -> i.toLong).toMap)
+  }
+
   test("deep chain terminates at the tree height, not maxIter") {
     val chain = (0 until 20).map(i =>
       ("c", i.toString, if (i == 0) None else Some((i - 1).toString)))
