@@ -236,6 +236,17 @@ object SparkEntry {
         sum(col("new_tools")).over(cum).as("distinct_tools_so_far"))
     }),
 
+    // --- daily-active distinct counting (A5/A6 family): exact
+    // count(distinct conv_id) per day — the scale path swaps in the
+    // HLL sketch (approx_count_distinct), whose ±2% parity with this
+    // exact query is asserted in EntrySpec (sketches can't be
+    // hash-oracled) ---
+    "q_daily_active" -> ((s, dir) =>
+      turns(s, dir)
+        .groupBy(Rollup.bucket(col("ts"), Tier.Day).as("bucket_ts"))
+        .agg(count_distinct(col("conv_id")).as("active_convs"),
+          count(lit(1)).as("turn_cnt"))),
+
     // --- collect + ordered string-join (A3, determinism pinned) ---
     "q_collect_tools" -> ((s, dir) =>
       turns(s, dir)
@@ -690,6 +701,11 @@ object SparkEntry {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           |    AS distinct_tools_so_far
           |FROM f""".stripMargin),
+      "q_daily_active" -> withTurns(
+        """SELECT date_trunc('day', ts) AS bucket_ts,
+          |  count(DISTINCT conv_id) AS active_convs,
+          |  count(*) AS turn_cnt
+          |FROM turns GROUP BY 1""".stripMargin),
       "q_collect_tools" -> withTurns(
         """SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
           |  coalesce(string_agg(tool, ' - ' ORDER BY tool), '') AS tools_joined

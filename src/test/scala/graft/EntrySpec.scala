@@ -44,4 +44,20 @@ class EntrySpec extends SparkSuite {
     assert(bad == 0, "turn_idx must be dense per conversation")
     t.unpersist()
   }
+
+  test("HLL sketch (approx_count_distinct) tracks the exact daily-active counts") {
+    import org.apache.spark.sql.functions._
+    val t = TranscriptGen.fromEvents(spark, sfDir)
+    val both = t.groupBy(graft.rollup.Rollup.bucket(col("ts"), graft.model.Tier.Day).as("d"))
+      .agg(count_distinct(col("conv_id")).as("exact"),
+        approx_count_distinct(col("conv_id"), 0.02).as("approx"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val exact = r.getLong(1)
+      val approx = r.getLong(2)
+      val err = math.abs(approx - exact).toDouble / math.max(exact, 1L)
+      assert(err <= 0.05, s"${r.get(0)}: sketch err $err (exact=$exact approx=$approx)")
+    }
+  }
 }
