@@ -34,14 +34,15 @@ import graft.model.Tier
   * plan):
   *
   *  - the path from the Aggregate to the scan must contain ONLY
-  *    Project / SubqueryAlias nodes, plus Filters whose predicate
-  *    references nothing but the grouping key `conv_id` — those are
-  *    TRANSLATED onto the tier scan (conv_id is a tier column, so
-  *    the filtered partials fold to the filtered raw answer).
-  *    Anything else — a Filter on a pre-aggregated column, Limit,
-  *    Sample, ... — cannot be answered by the tier table, so the
-  *    rule refuses (a dropped Filter silently returning unfiltered
-  *    totals is the classic materialized-view-matching bug).
+  *    Project / SubqueryAlias nodes, plus Filters every conjunct of
+  *    which is TRANSLATABLE onto the tier scan: predicates on the
+  *    grouping key `conv_id`, and `ts >= L` / `ts < L` ranges whose
+  *    literal is exactly bucket-aligned (floor bucketing makes the
+  *    bound exact on bucket_ts then). Anything else — a Filter on a
+  *    pre-aggregated column, an unaligned time bound, Limit, Sample,
+  *    ... — cannot be answered by the tier table, so the rule
+  *    refuses (a dropped Filter silently returning unfiltered totals
+  *    is the classic materialized-view-matching bug).
   *  - the serving directory must exist AND be fresh: `publishServing`
   *    stamps the raw-table snapshot each tier reflects into
   *    `serve/WATERMARKS`; the rule compares that against the raw
@@ -129,16 +130,12 @@ object TierRouting {
 
   object RouteToTier extends Rule[LogicalPlan] {
 
-    /** The scan beneath the aggregate plus any Filter conditions met
+    /** The scan beneath the aggregate plus all Filter conjuncts met
       * on the way — ONLY through Project / SubqueryAlias / Filter.
-      * Any other operator makes the rewrite unsound → None.
-      *
-      * Filters are legal ONLY when their predicate references nothing
-      * but `conv_id`: conv_id is a tier grouping column, so the same
-      * predicate applied to the tier scan selects exactly the rows
-      * whose partials fold to the raw answer. A predicate touching
-      * any pre-aggregated column (text, role, tool, ts, ...) cannot
-      * be answered by the tier table — the caller must bail out.
+      * Any other operator makes the rewrite unsound → None. The
+      * conjuncts are validated later by [[translateConjunct]] (which
+      * needs the requested bucket width); an untranslatable conjunct
+      * bails the whole rewrite.
       */
     private def routableScan(plan: LogicalPlan)
         : Option[(LogicalRelation, Seq[Expression])] =
@@ -147,14 +144,59 @@ object TierRouting {
           Some((lr, Seq.empty))
         case p: Project => routableScan(p.child)
         case s: SubqueryAlias => routableScan(s.child)
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-            if f.condition.references.nonEmpty &&
-              f.condition.references.forall(_.name == "conv_id") =>
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           routableScan(f.child).map { case (lr, conds) =>
-            (lr, f.condition +: conds)
+            (lr, splitConjuncts(f.condition) ++ conds)
           }
         case _ => None
       }
+
+    private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+      case other => Seq(other)
+    }
+
+    private def alignedTs(e: Expression, widthUs: Long): Boolean = e match {
+      case Literal(us: java.lang.Long, TimestampType) => us % widthUs == 0
+      case _ => false
+    }
+
+    private def isTsAttr(e: Expression): Boolean = e match {
+      case a: Attribute => a.name == "ts"
+      case Cast(a: Attribute, _, _, _) => a.name == "ts"
+      case _ => false
+    }
+
+    /** Translate one predicate conjunct onto the tier scan, or None
+      * when the tier table cannot answer it (→ bail out of routing):
+      *
+      *  - references only `conv_id` → same predicate on tier conv_id
+      *    (conv_id is a grouping column, partials filter exactly);
+      *  - `ts >= L` / `ts < L` with L EXACTLY bucket-aligned to the
+      *    requested width → same bound on tier bucket_ts: every raw
+      *    row with ts ≥ L lands in a bucket ≥ L, and no row with
+      *    ts < L does (floor bucketing + alignment). `<=`/`>` and
+      *    unaligned literals are NOT translatable this way — bail.
+      */
+    private def translateConjunct(e: Expression, widthUs: Long,
+        out: Map[String, Attribute]): Option[Expression] = e match {
+      case c if c.references.nonEmpty && c.references.forall(_.name == "conv_id") =>
+        Some(c.transform { case a: Attribute if a.name == "conv_id" =>
+          out("conv_id") })
+      // optimizer-inferred null guard: floor bucketing preserves
+      // nullness, so isnotnull(ts) ⟺ isnotnull(bucket_ts)
+      case IsNotNull(e) if isTsAttr(e) =>
+        Some(IsNotNull(out("bucket_ts")))
+      case GreaterThanOrEqual(l, r) if isTsAttr(l) && alignedTs(r, widthUs) =>
+        Some(GreaterThanOrEqual(out("bucket_ts"), r))
+      case LessThanOrEqual(l, r) if alignedTs(l, widthUs) && isTsAttr(r) =>
+        Some(GreaterThanOrEqual(out("bucket_ts"), l)) // L <= ts
+      case LessThan(l, r) if isTsAttr(l) && alignedTs(r, widthUs) =>
+        Some(LessThan(out("bucket_ts"), r))
+      case GreaterThan(l, r) if alignedTs(l, widthUs) && isTsAttr(r) =>
+        Some(LessThan(out("bucket_ts"), l)) // L > ts
+      case _ => None
+    }
 
     private def rawWarehouse(lr: LogicalRelation): Option[String] =
       lr match {
@@ -239,13 +281,16 @@ object TierRouting {
           (tierPlan, served) <- pickServingTier(wh, Tier(tb.tierName))
           out = tierPlan.output.map(a => a.name -> a).toMap
           if out.contains("conv_id") && out.contains("bucket_ts")
-          // conv_id-only predicates translate onto the tier scan (the
-          // tier is grouped by conv_id, so filtering its rows selects
-          // exactly the partials that fold to the filtered raw answer)
-          filtered = keyConds.foldLeft(tierPlan) { (p, cond) =>
-            org.apache.spark.sql.catalyst.plans.logical.Filter(
-              cond.transform { case a: Attribute if a.name == "conv_id" =>
-                out("conv_id") }, p)
+          // every Filter conjunct must translate onto the tier scan
+          // (conv_id predicates and bucket-aligned ts ranges) or the
+          // whole rewrite bails to the raw plan
+          widthUs = Tier(tb.tierName).millis * 1000L
+          translated <- {
+            val t = keyConds.map(c => translateConjunct(c, widthUs, out))
+            if (t.forall(_.isDefined)) Some(t.flatten) else None
+          }
+          filtered = translated.foldLeft(tierPlan) { (p, cond) =>
+            org.apache.spark.sql.catalyst.plans.logical.Filter(cond, p)
           }
           // exact tier: its bucket_ts IS the requested bucket; finer
           // tier: re-floor its bucket_ts to the requested width

@@ -206,6 +206,21 @@ final class TranscriptStore(
     if (df.isEmpty) df else df.select((tierCols :+ "chunk").map(col): _*)
   }
 
+  /** SERVE the finer tier's (bucket_ts, text_len_sum) series decoded
+    * straight out of tier `t`'s compressed chunks — the north-star
+    * read path for cold history: one coarse tier row expands to its
+    * finer points without touching the finer tier's files at all.
+    * Bit-exact with the finer tier (Gorilla round-trip, asserted in
+    * PipelineSpec).
+    */
+  def readDecodedPoints(t: Tier): DataFrame =
+    readTierWithChunks(t)
+      .select(col("conv_id"),
+        explode(graft.compress.ChunkCodec.chunkDecode(col("chunk"))).as("p"))
+      .select(col("conv_id"),
+        timestamp_micros(col("p.ts")).as("bucket_ts"),
+        col("p.v").as("value"))
+
   // ------------------------------------------------------------------
   // retention
   // ------------------------------------------------------------------

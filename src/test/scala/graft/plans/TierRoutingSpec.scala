@@ -159,6 +159,31 @@ class TierRoutingSpec extends SparkSuite {
     assert(!got.exists(_._1 == "conv-000003"), "filter was dropped")
   }
 
+  test("bucket-aligned ts ranges translate onto the tier scan; unaligned bail") {
+    val turns = TranscriptGen.generate(spark, 8, 30, seed = 78L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    // an hour-aligned bound in the middle of the data
+    val mid = turns.agg(min($"ts")).as[java.sql.Timestamp].head()
+    val aligned = new java.sql.Timestamp((mid.getTime / 3600000L + 1) * 3600000L)
+    def q(bound: java.sql.Timestamp) = spark.read.parquet(rawDir)
+      .filter($"ts" >= lit(bound) && $"conv_id" =!= "conv-000001")
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+    assert(scannedPaths(q(aligned)).exists(_.contains("serve/tier_1h")),
+      q(aligned).queryExecution.optimizedPlan.toString)
+    val expected = turns
+      .filter($"ts" >= lit(aligned) && $"conv_id" =!= "conv-000001")
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    assert(q(aligned).as[(String, java.sql.Timestamp, Long)].collect().toSet
+      == expected)
+    // 1 µs off the boundary → must NOT route
+    val unaligned = new java.sql.Timestamp(aligned.getTime + 1)
+    assert(!scannedPaths(q(unaligned)).exists(_.contains("serve/tier")),
+      "unaligned time bound must bail to the raw plan")
+  }
+
   test("unpublished warehouse falls through to the raw scan (no optimizer crash)") {
     val turns = TranscriptGen.generate(spark, 6, 15, seed = 72L).toDF()
     val (rawDir, _, _) = mkStore(turns, publish = false)

@@ -181,6 +181,13 @@ class PipelineSpec extends SparkSuite {
     decoded2.foreach { case (conv, pts) =>
       assert(pts == m1b(conv), s"post-merge chunk mismatch for $conv")
     }
+    // the distributed serving view decodes to the same point set
+    val served = store.readDecodedPoints(Tier.Hour)
+      .select($"conv_id", org.apache.spark.sql.functions.unix_micros($"bucket_ts"),
+        $"value")
+      .as[(String, Long, Double)].collect().toSet
+    val want = m1b.toSeq.flatMap { case (c, pts) => pts.map(p => (c, p._1, p._2)) }.toSet
+    assert(served == want, "readDecodedPoints != finer tier")
     turns.unpersist()
   }
 
