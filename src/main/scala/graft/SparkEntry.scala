@@ -247,6 +247,20 @@ object SparkEntry {
         .agg(count_distinct(col("conv_id")).as("active_convs"),
           count(lit(1)).as("turn_cnt"))),
 
+    // --- exact lower-median per conversation (percentile family):
+    // rank-based selection with a pinned tiebreak — identical integer
+    // logic in both engines, unlike interpolating percentile
+    // functions whose semantics differ ---
+    "q_median_text_len" -> ((s, dir) => {
+      val t = turns(s, dir).select(col("conv_id"),
+        length(col("text")).cast("long").as("len"), col("turn_idx"))
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("len"), col("turn_idx"))
+      t.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("conv_id"))))
+        .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
+        .select(col("conv_id"), col("len").as("median_text_len"))
+    }),
+
     // --- collect + ordered string-join (A3, determinism pinned) ---
     "q_collect_tools" -> ((s, dir) =>
       turns(s, dir)
@@ -701,6 +715,17 @@ object SparkEntry {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           |    AS distinct_tools_so_far
           |FROM f""".stripMargin),
+      "q_median_text_len" -> withTurns(
+        """WITH t AS (
+          |  SELECT conv_id, CAST(length(text) AS BIGINT) AS len, turn_idx
+          |  FROM turns),
+          |r AS (
+          |  SELECT conv_id, len,
+          |    row_number() OVER (PARTITION BY conv_id ORDER BY len, turn_idx) AS rn,
+          |    count(*) OVER (PARTITION BY conv_id) AS cnt
+          |  FROM t)
+          |SELECT conv_id, len AS median_text_len FROM r
+          |WHERE rn = (cnt + 1) // 2""".stripMargin),
       "q_daily_active" -> withTurns(
         """SELECT date_trunc('day', ts) AS bucket_ts,
           |  count(DISTINCT conv_id) AS active_convs,
