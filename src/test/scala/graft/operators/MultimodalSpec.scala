@@ -74,8 +74,7 @@ class MultimodalSpec extends SparkSuite {
   test("metadata-only query over a parquet multimodal table prunes the payload column") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mm-").toString
     Multimodal.synthesize(spark, sfDir).write.mode("overwrite").parquet(dir)
-    val plan = spark.read.parquet(dir)
-      .select($"doc_id", $"modality", $"meta.width")
+    val plan = Multimodal.metaOnlyStored(spark.read.parquet(dir))
       .queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema"), plan)
     assert(!plan.contains("payload"),
