@@ -103,23 +103,34 @@ object TreeDepth {
     var i = 0
     while (live > 0 && live < prev && i < maxIter) {
       prev = live
-      val lookup = state.select(col("_tree"), col("_node").as("_k"),
-        col("_anc").as("_kanc"), col("_d").as("_kd"))
-      state = state
-        .join(lookup, Seq("_tree"))
-        .filter(col("_anc") === col("_k") ||
-          (col("_anc").isNull && col("_k") === col("_node")))
-        .select(col("_tree"), col("_node"),
-          when(col("_anc").isNull, lit(null)).otherwise(col("_kanc")).as("_anc"),
-          when(col("_anc").isNull, col("_d"))
-            .otherwise(col("_d") + col("_kd")).as("_d"))
-        .localCheckpoint()
+      state = doublingRound(state).localCheckpoint()
       live = state.filter(col("_anc").isNotNull).count()
       i += 1
     }
     state.filter(col("_anc").isNull)
       .select(col("_tree").as(treeCol), col("_node").as(nodeCol),
         col("_d").as("depth"))
+  }
+
+  /** One pointer-doubling round. The round join must carry BOTH equi
+    * keys (_tree, _anc = node): splitting state into done (anc null —
+    * passes through untouched) and live rows keeps `_anc` non-null on
+    * the probe side, so the hash join hashes each live row to exactly
+    * its ancestor's row. A single OR-filtered join keyed on _tree
+    * alone would stream |state|² pairs PER TREE each round — O(n²)
+    * for the chain-deep hierarchies this operator exists for.
+    * Package-visible so PlanAuditSpec pins the two-key join shape.
+    */
+  private[graft] def doublingRound(state: DataFrame): DataFrame = {
+    val done = state.filter(col("_anc").isNull)
+    val lookup = state.select(col("_tree"), col("_node").as("_anc"),
+      col("_anc").as("_kanc"), col("_d").as("_kd"))
+    val advanced = state.filter(col("_anc").isNotNull)
+      .join(lookup, Seq("_tree", "_anc"))
+      .select(col("_tree"), col("_node"),
+        col("_kanc").as("_anc"),
+        (col("_d") + col("_kd")).as("_d"))
+    done.unionByName(advanced)
   }
 
   /** Join per-tree depth stats back onto every node (reference

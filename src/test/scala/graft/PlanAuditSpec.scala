@@ -121,6 +121,31 @@ class PlanAuditSpec extends SparkSuite {
     assert(hasCodegen, df.queryExecution.executedPlan.toString)
   }
 
+  test("pointer-doubling round join carries both equi keys (_tree AND _anc)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when, lit}
+    // a join keyed on _tree alone streams |state|² pairs per tree per
+    // round — the exact O(n²) that defeats the operator's O(log h)
+    // claim on its own motivating case (one chain-deep tree)
+    val state = Seq(("c", 0, None), ("c", 1, Some(0)), ("c", 2, Some(1)))
+      .toDF("_tree", "_node", "_parent")
+      .select(col("_tree"), col("_node"), col("_parent").as("_anc"),
+        when(col("_anc").isNull, 0L).otherwise(1L).as("_d"))
+    val round = graft.operators.TreeDepth.doublingRound(state)
+    val joinKeys = flatten(round.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+    }
+    assert(joinKeys.nonEmpty, round.queryExecution.executedPlan.toString)
+    assert(joinKeys.forall(_.size == 2),
+      s"round join lost an equi key (per-tree quadratic!): " +
+        s"keys=${joinKeys.map(_.map(_.sql))}\n" +
+        round.queryExecution.executedPlan.toString)
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("tier reads through ChronoTable push filters to parquet") {
     import org.apache.spark.sql.functions._
     val wh = java.nio.file.Files.createTempDirectory("graft-audit-").toString

@@ -65,6 +65,24 @@ class TreeDepthSpec extends SparkSuite {
       .map(i => f"n$i%03d" -> i.toLong).toMap)
   }
 
+  test("doubling handles one 50k-node chain in seconds (the design point)") {
+    // ONE tree of height 50k: BFS would need 50k rounds; a round join
+    // keyed on the tree alone would stream 2.5e9 pairs per round. The
+    // two-key equi-join shape completes ~16 rounds over 50k rows.
+    val n = 50000
+    val chain = spark.range(n.toLong).selectExpr(
+      "'c' AS tree", "CAST(id AS INT) AS node",
+      "CASE WHEN id = 0 THEN NULL ELSE CAST(id - 1 AS INT) END AS parent")
+    val t0 = System.nanoTime()
+    val got = TreeDepth.depthsByDoubling(chain, "tree", "node", "parent")
+    assert(got.count() == n.toLong)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120.0, s"50k chain took ${secs}s — round join degraded?")
+    // spot-check the deepest node
+    import org.apache.spark.sql.functions.max
+    assert(got.agg(max("depth")).head().getLong(0) == (n - 1).toLong)
+  }
+
   test("deep chain terminates at the tree height, not maxIter") {
     val chain = (0 until 20).map(i =>
       ("c", i.toString, if (i == 0) None else Some((i - 1).toString)))
