@@ -41,19 +41,27 @@ object TextFunctions {
       }
       java.lang.Long.valueOf(h)
     }
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // locals via ctx.freshName — multiple Fingerprints in one codegen
+    // method body (non-nullable children) must not collide (see
+    // VectorExpressions.DotProduct)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val s = ctx.freshName("fpS")
+      val h = ctx.freshName("fpH")
+      val i = ctx.freshName("fpI")
+      val cp = ctx.freshName("fpCp")
       nullSafeCodeGen(ctx, ev, c =>
         s"""
-           |java.lang.String fpS = $c.toString();
-           |long fpH = 0L;
-           |int fpI = 0;
-           |while (fpI < fpS.length()) {
-           |  int fpCp = fpS.codePointAt(fpI);
-           |  fpH = (fpH * 31L + fpCp) % 2147483647L;
-           |  fpI += java.lang.Character.charCount(fpCp);
+           |java.lang.String $s = $c.toString();
+           |long $h = 0L;
+           |int $i = 0;
+           |while ($i < $s.length()) {
+           |  int $cp = $s.codePointAt($i);
+           |  $h = ($h * 31L + $cp) % 2147483647L;
+           |  $i += java.lang.Character.charCount($cp);
            |}
-           |${ev.value} = fpH;
+           |${ev.value} = $h;
            |""".stripMargin)
+    }
     override protected def withNewChildInternal(c: Expression): Fingerprint = copy(c)
   }
 

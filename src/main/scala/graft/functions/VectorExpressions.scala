@@ -34,16 +34,24 @@ object VectorExpressions {
       java.lang.Double.valueOf(acc)
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // locals via ctx.freshName: several DotProducts can land in ONE
+    // Janino method body (non-nullable children skip the per-instance
+    // brace scope) — fixed identifiers would collide, fail to compile,
+    // and silently fall back to interpreted eval
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val n = ctx.freshName("dpN")
+      val acc = ctx.freshName("dpAcc")
+      val i = ctx.freshName("dpI")
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"""
-           |int dpN = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double dpAcc = 0.0;
-           |for (int dpI = 0; dpI < dpN; dpI++) {
-           |  dpAcc += $a.getDouble(dpI) * $b.getDouble(dpI);
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
            |}
-           |${ev.value} = dpAcc;
+           |${ev.value} = $acc;
            |""".stripMargin)
+    }
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): DotProduct =

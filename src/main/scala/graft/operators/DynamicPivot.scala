@@ -36,12 +36,16 @@ object DynamicPivot {
       valueAgg: Column,
       prefix: String = "",
       maxColumns: Int = 10000): DataFrame = {
+    // limit BEFORE collect: a runaway-cardinality pivot column must
+    // trip the guard, not OOM the driver fetching the whole vocabulary
+    // first (Spark's own pivot limits its distinct job the same way)
     val vals = df
       .select(col(pivotCol)).filter(col(pivotCol).isNotNull)
       .distinct().orderBy(col(pivotCol))
+      .limit(maxColumns + 1)
       .collect().map(_.get(0))
     require(vals.length <= maxColumns,
-      s"pivot vocabulary ${vals.length} exceeds maxColumns=$maxColumns")
+      s"pivot vocabulary exceeds maxColumns=$maxColumns")
     val pivoted = df
       .filter(col(pivotCol).isNotNull)
       .groupBy(groupCols.map(col): _*)

@@ -148,9 +148,16 @@ object MediaHeaders {
 
   /** Sniff the container by magic and parse its header. None on
     * anything truncated, corrupt (PNG IHDR CRC is verified), or
-    * unrecognized.
+    * unrecognized. All offset arithmetic on untrusted sizes is done
+    * in Long (a crafted chunk size near Int.MaxValue must not wrap to
+    * a negative offset that passes the bounds guards); the Try is a
+    * second line of defense so corrupt bytes can NEVER crash a task —
+    * the documented contract is None, not an executor exception.
     */
   def parse(bytes: Array[Byte]): Option[MediaMeta] =
+    scala.util.Try(parseSniffed(bytes)).toOption.flatten
+
+  private def parseSniffed(bytes: Array[Byte]): Option[MediaMeta] =
     if (bytes.length >= 8 && bytes.take(8).sameElements(pngSig)) parsePng(bytes)
     else if (tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE") parseWav(bytes)
     else if (tag(bytes, 4) == "ftyp") parseMp4(bytes)
@@ -161,7 +168,7 @@ object MediaHeaders {
     while (off + 8 <= b.length) {
       val len = readBe32(b, off)
       val typ = tag(b, off + 4)
-      if (len < 0 || off + 12 + len > b.length) return None
+      if (len < 0 || off + 12L + len > b.length) return None
       if (typ == "IHDR") {
         if (len != 13) return None
         val crc = new CRC32()
@@ -176,16 +183,20 @@ object MediaHeaders {
   }
 
   private def parseWav(b: Array[Byte]): Option[MediaMeta] = {
-    var off = 12
+    var off = 12L // Long: size near Int.MaxValue must not wrap the cursor
     var byteRate = 0
     var dataSize = -1
     while (off + 8 <= b.length) {
-      val id = tag(b, off)
-      val size = readLe32(b, off + 4)
+      val o = off.toInt // off + 8 <= length ⇒ fits in Int
+      val id = tag(b, o)
+      val size = readLe32(b, o + 4)
       if (size < 0) return None
-      if (id == "fmt " && size >= 16) byteRate = readLe32(b, off + 8 + 8)
+      if (id == "fmt " && size >= 16) {
+        if (o + 8L + 12 + 4 > b.length) return None
+        byteRate = readLe32(b, o + 8 + 8)
+      }
       if (id == "data") dataSize = size
-      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      off += 8L + size + (size & 1) // RIFF chunks are word-aligned
     }
     if (byteRate > 0 && dataSize >= 0)
       Some(MediaMeta("wav", None, None, Some(dataSize / byteRate)))
@@ -199,7 +210,7 @@ object MediaHeaders {
       while (off + 8 <= until) {
         val size = readBe32(b, off)
         val typ = tag(b, off + 4)
-        if (size < 8 || off + size > until) return
+        if (size < 8 || off.toLong + size > until) return
         typ match {
           case "moov" | "trak" if depth < 4 => walk(off + 8, off + size, depth + 1)
           case "mvhd" if size >= 32 =>

@@ -95,9 +95,20 @@ object Similarity {
     * any rotation — the embedding analog of [[Dedup.lshCandidates]]:
     * equi-join on (rot, bucket), shuffle ∝ Σ bucket², never n².
     */
+  /** Vector dimension as table metadata: one tiny driver-side peek.
+    * None on an empty table — callers short-circuit to an empty
+    * result instead of throwing NoSuchElementException.
+    */
+  private def dimOf(embeddings: DataFrame, vecCol: String): Option[Int] =
+    embeddings.select(size(col(vecCol)).as("d"))
+      .head(1).headOption.map(_.getInt(0))
+
   def lshPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       planes: Int = 8, rotations: Int = 4): DataFrame = {
-    val dim = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val dim = dimOf(embeddings, vecCol).getOrElse {
+      return embeddings.limit(0)
+        .select(col(idCol).as("id1"), col(idCol).as("id2"))
+    }
     val vecs = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val bucketed = (0 until rotations).map { r =>
       vecs.select(col("id"), lit(r).as("rot"),
@@ -143,8 +154,10 @@ object Similarity {
     */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, planes: Int = 8, rotations: Int = 4): DataFrame = {
-    // dimension is table metadata (one tiny driver-side peek)
-    val dim = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val dim = dimOf(embeddings, vecCol).getOrElse {
+      return embeddings.limit(0).select(col(idCol).as("qid"),
+        lit(0L).as("rank"), col(idCol).as("nid"))
+    }
     val vecs = embeddings
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))

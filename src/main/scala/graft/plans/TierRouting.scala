@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType}
 import org.apache.spark.sql.{Column, GraftShims, SparkSessionExtensions}
 
 import graft.model.Tier
@@ -161,9 +161,20 @@ object TierRouting {
       case _ => false
     }
 
-    private def isTsAttr(e: Expression): Boolean = e match {
-      case a: Attribute => a.name == "ts"
-      case Cast(a: Attribute, _, _, _) => a.name == "ts"
+    /** Attribute `a` IS the raw scan's column of the same name —
+      * resolved by exprId, not name. Projects between the Aggregate
+      * and the scan pass attributes through with their exprId intact;
+      * an alias (`select(col("turn_idx").as("ts"))`) mints a NEW
+      * exprId and therefore fails this check — without it, a renamed
+      * column would route and silently translate a predicate onto the
+      * wrong tier column (the classic view-matching bug).
+      */
+    private def isRawAttr(a: Attribute, raw: Map[String, ExprId]): Boolean =
+      raw.get(a.name).contains(a.exprId)
+
+    private def isTsAttr(e: Expression, raw: Map[String, ExprId]): Boolean = e match {
+      case a: Attribute => a.name == "ts" && isRawAttr(a, raw)
+      case Cast(a: Attribute, _, _, _) => a.name == "ts" && isRawAttr(a, raw)
       case _ => false
     }
 
@@ -179,21 +190,22 @@ object TierRouting {
       *    unaligned literals are NOT translatable this way — bail.
       */
     private def translateConjunct(e: Expression, widthUs: Long,
-        out: Map[String, Attribute]): Option[Expression] = e match {
-      case c if c.references.nonEmpty && c.references.forall(_.name == "conv_id") =>
+        out: Map[String, Attribute], raw: Map[String, ExprId]): Option[Expression] = e match {
+      case c if c.references.nonEmpty &&
+          c.references.forall(a => a.name == "conv_id" && isRawAttr(a, raw)) =>
         Some(c.transform { case a: Attribute if a.name == "conv_id" =>
           out("conv_id") })
       // optimizer-inferred null guard: floor bucketing preserves
       // nullness, so isnotnull(ts) ⟺ isnotnull(bucket_ts)
-      case IsNotNull(e) if isTsAttr(e) =>
+      case IsNotNull(e) if isTsAttr(e, raw) =>
         Some(IsNotNull(out("bucket_ts")))
-      case GreaterThanOrEqual(l, r) if isTsAttr(l) && alignedTs(r, widthUs) =>
+      case GreaterThanOrEqual(l, r) if isTsAttr(l, raw) && alignedTs(r, widthUs) =>
         Some(GreaterThanOrEqual(out("bucket_ts"), r))
-      case LessThanOrEqual(l, r) if alignedTs(l, widthUs) && isTsAttr(r) =>
+      case LessThanOrEqual(l, r) if alignedTs(l, widthUs) && isTsAttr(r, raw) =>
         Some(GreaterThanOrEqual(out("bucket_ts"), l)) // L <= ts
-      case LessThan(l, r) if isTsAttr(l) && alignedTs(r, widthUs) =>
+      case LessThan(l, r) if isTsAttr(l, raw) && alignedTs(r, widthUs) =>
         Some(LessThan(out("bucket_ts"), r))
-      case GreaterThan(l, r) if alignedTs(l, widthUs) && isTsAttr(r) =>
+      case GreaterThan(l, r) if alignedTs(l, widthUs) && isTsAttr(r, raw) =>
         Some(LessThan(out("bucket_ts"), l)) // L > ts
       case _ => None
     }
@@ -229,23 +241,49 @@ object TierRouting {
         .headOption
     }
 
-    /** Map a raw-side aggregate function to the tier-side equivalent
-      * over the tier columns. None → not routable.
+    /** Map a raw-side aggregate expression to the tier-side equivalent
+      * over the tier columns. None → not routable. A FILTER clause
+      * always bails (the tier partials cannot re-apply it); DISTINCT
+      * bails except count(DISTINCT conv_id), which maps exactly
+      * because the tier is unique per (conv_id, bucket).
       */
-    private def mapAgg(fn: AggregateFunction,
-        tierCol: String => Expression): Option[Expression] = fn match {
-      case Count(Seq(Literal(1, _))) => Some(Sum(tierCol("turn_cnt")).toAggregateExpression())
-      case Count(Seq(a: Attribute)) if a.name == "tool" =>
-        Some(Sum(tierCol("tool_cnt")).toAggregateExpression())
-      case Sum(Cast(Length(a: Attribute), LongType, _, _), _) if a.name == "text" =>
-        Some(Sum(tierCol("text_len_sum")).toAggregateExpression())
-      case Sum(Length(a: Attribute), _) if a.name == "text" =>
-        Some(Sum(tierCol("text_len_sum")).toAggregateExpression())
-      case Min(Cast(Length(a: Attribute), LongType, _, _)) if a.name == "text" =>
-        Some(Min(tierCol("text_len_min")).toAggregateExpression())
-      case Max(Cast(Length(a: Attribute), LongType, _, _)) if a.name == "text" =>
-        Some(Max(tierCol("text_len_max")).toAggregateExpression())
-      case _ => None
+    private def mapAgg(ae: AggregateExpression, raw: Map[String, ExprId],
+        tierCol: String => Expression): Option[Expression] = {
+      if (ae.filter.nonEmpty) return None
+      def rawText(e: Expression): Boolean = e match {
+        case Length(a: Attribute) => a.name == "text" && isRawAttr(a, raw)
+        case Cast(Length(a: Attribute), LongType, _, _) =>
+          a.name == "text" && isRawAttr(a, raw)
+        case _ => false
+      }
+      if (ae.isDistinct) ae.aggregateFunction match {
+        // count(DISTINCT conv_id): tier rows are unique per
+        // (conv_id, bucket) — a plain per-bucket DISTINCT over tier
+        // conv_id is exact, and |convs|-bounded instead of raw-bounded
+        case Count(Seq(a: Attribute)) if a.name == "conv_id" && isRawAttr(a, raw) =>
+          Some(Count(Seq(tierCol("conv_id"))).toAggregateExpression(isDistinct = true))
+        case _ => None
+      } else ae.aggregateFunction match {
+        case Count(Seq(Literal(1, _))) =>
+          Some(Sum(tierCol("turn_cnt")).toAggregateExpression())
+        case Count(Seq(a: Attribute)) if a.name == "tool" && isRawAttr(a, raw) =>
+          Some(Sum(tierCol("tool_cnt")).toAggregateExpression())
+        case Sum(e, _) if rawText(e) =>
+          Some(Sum(tierCol("text_len_sum")).toAggregateExpression())
+        case Min(e) if rawText(e) =>
+          Some(Min(tierCol("text_len_min")).toAggregateExpression())
+        case Max(e) if rawText(e) =>
+          Some(Max(tierCol("text_len_max")).toAggregateExpression())
+        // avg(length(text)) = Σ text_len_sum / Σ turn_cnt — derivable
+        // because text is non-null under the model contract (the
+        // average's own count equals the row count then). Cast to
+        // double on both sides mirrors Average.evaluateExpression.
+        case Average(e, _) if rawText(e) =>
+          Some(Divide(
+            Cast(Sum(tierCol("text_len_sum")).toAggregateExpression(), DoubleType),
+            Cast(Sum(tierCol("turn_cnt")).toAggregateExpression(), DoubleType)))
+        case _ => None
+      }
     }
 
     /** TierBucket may sit inline in the grouping list (pre-optimizer
@@ -267,17 +305,36 @@ object TierRouting {
       }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-      case agg @ Aggregate(groupings, aggExprs, child, _) if groupings.size == 2 =>
+      // 2-key shape: (conv_id, tier_bucket(ts)) — the per-conversation
+      // rollup; 1-key shape: tier_bucket(ts) alone — the global
+      // dashboard rollup (tier partials fold exactly either way)
+      case agg @ Aggregate(groupings, aggExprs, child, _)
+          if groupings.nonEmpty && groupings.size <= 2 =>
         val tbOpt = groupings.flatMap(g => resolveTierBucket(g, child)).headOption
         val routed = for {
           tb <- tbOpt
           (scan, keyConds) <- routableScan(child)
           wh <- rawWarehouse(scan)
-          _ <- groupings.collectFirst {
-            case a: Attribute if a.name == "conv_id" => a }
+          // bind raw columns by exprId through the Project chain: an
+          // attribute counts as `ts`/`conv_id`/... ONLY if it is the
+          // scan's own output attribute (aliases mint new exprIds)
+          raw = scan.output.map(a => a.name -> a.exprId).toMap
+          // the TierBucket must be computed over the raw ts column
+          // ITSELF (bare attribute or a cast of it) — CollapseProject
+          // inlines aliases, so tier_bucket(ts + 1h) arrives here with
+          // ts in its references but is NOT the tier's bucket key
+          if isTsAttr(tb.child, raw)
           tbAttrIds = groupings.collect {
             case a: Attribute if resolveTierBucket(a, child).isDefined => a.exprId
           }.toSet
+          convGrouping = groupings.collectFirst {
+            case a: Attribute if a.name == "conv_id" && isRawAttr(a, raw) => a }
+          // every grouping key must be the bucket or the raw conv_id
+          if groupings.forall {
+            case a: Attribute =>
+              tbAttrIds.contains(a.exprId) || convGrouping.exists(_.exprId == a.exprId)
+            case e => resolveTierBucket(e, child).isDefined
+          }
           (tierPlan, served) <- pickServingTier(wh, Tier(tb.tierName))
           out = tierPlan.output.map(a => a.name -> a).toMap
           if out.contains("conv_id") && out.contains("bucket_ts")
@@ -286,7 +343,7 @@ object TierRouting {
           // whole rewrite bails to the raw plan
           widthUs = Tier(tb.tierName).millis * 1000L
           translated <- {
-            val t = keyConds.map(c => translateConjunct(c, widthUs, out))
+            val t = keyConds.map(c => translateConjunct(c, widthUs, out, raw))
             if (t.forall(_.isDefined)) Some(t.flatten) else None
           }
           filtered = translated.foldLeft(tierPlan) { (p, cond) =>
@@ -296,9 +353,10 @@ object TierRouting {
           // tier: re-floor its bucket_ts to the requested width
           bucketExpr = if (served.name == tb.tierName) out("bucket_ts")
             else TierBucket(out("bucket_ts"), tb.tierName)
-          mapped <- mapAll(aggExprs, tbAttrIds, out, bucketExpr)
+          mapped <- mapAll(aggExprs, tbAttrIds, out, bucketExpr, raw,
+            convGrouping.isDefined)
         } yield Aggregate(
-          Seq(out("conv_id"), bucketExpr), mapped, filtered)
+          (convGrouping.map(_ => out("conv_id")).toSeq :+ bucketExpr), mapped, filtered)
         routed.getOrElse(agg)
     }
 
@@ -307,16 +365,17 @@ object TierRouting {
       * parents stay resolved.
       */
     private def mapAll(aggExprs: Seq[NamedExpression], tbAttrIds: Set[ExprId],
-        out: Map[String, Attribute], bucketExpr: Expression): Option[Seq[NamedExpression]] = {
+        out: Map[String, Attribute], bucketExpr: Expression,
+        raw: Map[String, ExprId], hasConvGrouping: Boolean): Option[Seq[NamedExpression]] = {
       val mapped = aggExprs.map {
-        case a: Attribute if a.name == "conv_id" =>
+        case a: Attribute if a.name == "conv_id" && hasConvGrouping =>
           Some(Alias(out("conv_id"), a.name)(exprId = a.exprId))
         case al @ Alias(_: TierBucket, name) =>
           Some(Alias(bucketExpr, name)(exprId = al.exprId))
         case al @ Alias(a: Attribute, name) if tbAttrIds.contains(a.exprId) =>
           Some(Alias(bucketExpr, name)(exprId = al.exprId))
         case al @ Alias(ae: AggregateExpression, name) =>
-          mapAgg(ae.aggregateFunction, n => out(n))
+          mapAgg(ae, raw, n => out(n))
             .map(e => Alias(e, name)(exprId = al.exprId))
         case _ => None
       }

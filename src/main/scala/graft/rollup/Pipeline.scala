@@ -65,16 +65,24 @@ final class TranscriptStore(
     *   once upstream delivery) cannot double-count. The anti join is
     *   day-partition-pruned: only the batch's own ts_day partitions
     *   are read back, not the whole table — O(batch) at any scale.
+    *   Duplicates WITHIN the incoming batch (a retried upstream
+    *   producer duplicates inside one delivery most of all) are
+    *   removed first by a keep-first window pinned on ts — the anti
+    *   join alone only screens against already-committed rows.
     */
   def ingest(turns: DataFrame, dedupe: Boolean = false): Long = {
     val base = turns.select(turnCols.map(col): _*)
-    val deduped = if (!dedupe || raw.currentSnapshotId == 0L) base else {
-      val days = base.select(date_format(col("ts"), "yyyy-MM-dd"))
-        .distinct().collect().map(_.getString(0)).toSet
-      val existingKeys = raw.read()
-        .filter(col("ts_day").isin(days.toSeq: _*))
-        .select(col("conv_id"), col("turn_idx"))
-      base.join(existingKeys, Seq("conv_id", "turn_idx"), "left_anti")
+    val deduped = if (!dedupe) base else {
+      val inBatch = graft.operators.Dedup.exactKeepFirst(
+        base, Seq("conv_id", "turn_idx"), "ts")
+      if (raw.currentSnapshotId == 0L) inBatch else {
+        val days = inBatch.select(date_format(col("ts"), "yyyy-MM-dd"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val existingKeys = raw.read()
+          .filter(col("ts_day").isin(days.toSeq: _*))
+          .select(col("conv_id"), col("turn_idx"))
+        inBatch.join(existingKeys, Seq("conv_id", "turn_idx"), "left_anti")
+      }
     }
     val partitioned = deduped
       .withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))

@@ -167,7 +167,13 @@ final class ChronoTable private (
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
     val parquetFiles = listParquet(target)
     // per-file stats: one scan of the NEW batch only (Iceberg computes
-    // the same bounds at write time), keyed by unique part-file name
+    // the same bounds at write time). Keyed by the BATCH-RELATIVE path
+    // (partition dirs + filename), NOT the bare filename: Spark's
+    // dynamic-partition writer reuses the same part-NNNNN-<uuid>.c000
+    // name in every partition dir a task writes, so bare names collide
+    // within a batch and one file would silently inherit another's
+    // bounds — and stats-pruned reads could then drop in-range rows.
+    val targetAbs = target.toAbsolutePath.toString
     val stats: Map[String, (Long, Long)] = statsTsCol match {
       case Some(c) if parquetFiles.nonEmpty =>
         spark.read.option("basePath", dataRoot).parquet(target.toString)
@@ -176,16 +182,21 @@ final class ChronoTable private (
             max(unix_micros(col(c).cast("timestamp"))).as("mx"))
           .collect()
           .flatMap { r =>
-            val name = r.getString(0).split('/').last
+            // input_file_name is a URI (file:/...; %-escaped) — decode
+            // to a filesystem path before relativizing against target
+            val raw = r.getString(0)
+            val fsPath = scala.util.Try(
+              Paths.get(new java.net.URI(raw)).toString).getOrElse(raw)
+            val rel = fsPath.stripPrefix(targetAbs).stripPrefix("/")
             if (r.isNullAt(1) || r.isNullAt(2)) None
-            else Some(name -> ((r.getLong(1), r.getLong(2))))
+            else Some(rel -> ((r.getLong(1), r.getLong(2))))
           }.toMap
       case _ => Map.empty
     }
     parquetFiles.map { p =>
       val rel = target.relativize(p).toString
       val partition = Option(Paths.get(rel).getParent).map(_.toString).getOrElse("")
-      val st = stats.get(p.getFileName.toString)
+      val st = stats.get(rel)
       FileEntry(s"batch_id=$sid/$rel", partition, sid, st.map(_._1), st.map(_._2))
     }
   }

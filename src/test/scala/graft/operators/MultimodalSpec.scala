@@ -38,6 +38,27 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaHeaders.parse(Array.empty[Byte]).isEmpty)
   }
 
+  test("crafted near-Int.MaxValue chunk sizes return None, never crash") {
+    // WAV with a data size of 0x7FFFFFF0: Int offset math would wrap
+    // negative, pass the loop guard, and throw from tag/readLe32
+    val wav = MediaHeaders.buildWav(100, 10, Array[Byte](1))
+    wav(0x28) = 0xF0.toByte; wav(0x29) = 0xFF.toByte
+    wav(0x2A) = 0xFF.toByte; wav(0x2B) = 0x7F.toByte
+    // must return an Option (header-only parse may still succeed),
+    // never throw from a wrapped negative offset
+    MediaHeaders.parse(wav)
+    // PNG with IHDR length 0x7FFFFFF8 → off + 12 + len wraps in Int
+    val png = MediaHeaders.buildPng(640, 480, "body".getBytes)
+    png(8) = 0x7F.toByte; png(9) = 0xFF.toByte
+    png(10) = 0xFF.toByte; png(11) = 0xF8.toByte
+    assert(MediaHeaders.parse(png).isEmpty)
+    // MP4 with a moov size that overflows off + size
+    val mp4 = MediaHeaders.buildMp4(1280, 720, 13, "zz".getBytes)
+    mp4(16) = 0x7F.toByte; mp4(17) = 0xFF.toByte
+    mp4(18) = 0xFF.toByte; mp4(19) = 0xF0.toByte
+    assert(MediaHeaders.parse(mp4).isEmpty)
+  }
+
   test("decoded metadata equals generator intent on every row") {
     val dec = Multimodal.decodeMeta(Multimodal.synthesize(spark, sfDir)).cache()
     assert(dec.filter($"decoded_modality".isNull).count() == 0,

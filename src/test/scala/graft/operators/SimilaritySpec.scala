@@ -79,6 +79,17 @@ class SimilaritySpec extends SparkSuite {
     assert(brute.forall(_._3 >= 950))
   }
 
+  test("empty embeddings table yields empty results, not an exception") {
+    val empty = emb.limit(0)
+    assert(Similarity.lshTopK(empty, "vec_id", "embedding", k = 3).isEmpty)
+    assert(Similarity.lshPairs(empty, "vec_id", "embedding").isEmpty)
+    // schema preserved for downstream unions/joins
+    assert(Similarity.lshTopK(empty, "vec_id", "embedding", k = 3)
+      .columns.toSeq == Seq("qid", "rank", "nid"))
+    assert(Similarity.lshPairs(empty, "vec_id", "embedding")
+      .columns.toSeq == Seq("id1", "id2"))
+  }
+
   test("deterministic: same plan twice gives identical rows") {
     val a = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3)
       .as[(Long, Long, Long)].collect().toSet

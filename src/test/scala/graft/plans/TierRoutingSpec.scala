@@ -250,12 +250,92 @@ class TierRoutingSpec extends SparkSuite {
 
   test("non-routable aggregates fall through to the raw scan unchanged") {
     val (rawDir, _) = setup
-    // avg(length) is not in the mapped algebra → must NOT route
+    // sum(turn_idx) has no tier partial → must NOT route
     val df = spark.read.parquet(rawDir)
       .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("b"))
-      .agg(avg(length($"text")).as("avg_len"))
+      .agg(sum($"turn_idx").as("idx_sum"))
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(!optimized.contains("tier_1h"), optimized)
     assert(df.count() > 0)
+  }
+
+  test("GLOBAL (bucket-only) rollup routes — the dashboard shape") {
+    val turns = TranscriptGen.generate(spark, 8, 20, seed = 83L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    def q = spark.read.parquet(rawDir)
+      .groupBy(TierRouting.tierBucket($"ts", Tier.Day).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"),
+        count_distinct($"conv_id").as("active_convs"),
+        sum(length($"text").cast("long")).as("text_len_sum"))
+    assert(scannedPaths(q).exists(_.contains("serve/tier_1d")),
+      q.queryExecution.optimizedPlan.toString)
+    val expected = turns
+      .groupBy(TierRouting.tierBucket($"ts", Tier.Day).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"),
+        count_distinct($"conv_id").as("active_convs"),
+        sum(length($"text").cast("long")).as("text_len_sum"))
+      .as[(java.sql.Timestamp, Long, Long, Long)].collect().toSet
+    assert(q.as[(java.sql.Timestamp, Long, Long, Long)].collect().toSet == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("avg(length(text)) routes via the sum/count-derived form") {
+    val turns = TranscriptGen.generate(spark, 8, 20, seed = 84L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    def q = spark.read.parquet(rawDir)
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(avg(length($"text")).as("avg_len"))
+    assert(scannedPaths(q).exists(_.contains("serve/tier_1h")),
+      q.queryExecution.optimizedPlan.toString)
+    val expected = turns
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(avg(length($"text")).as("avg_len"))
+      .as[(String, java.sql.Timestamp, Double)].collect().toSet
+    assert(q.as[(String, java.sql.Timestamp, Double)].collect().toSet == expected)
+  }
+
+  test("a column ALIASED as ts/conv_id must not route (exprId binding)") {
+    val turns = TranscriptGen.generate(spark, 8, 20, seed = 85L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    // turn_idx masquerading as conv_id: name matches, exprId does not —
+    // routing would translate the grouping onto the WRONG tier column
+    def q = spark.read.parquet(rawDir)
+      .select($"ts", $"turn_idx".cast("string").as("conv_id"))
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+    assert(!scannedPaths(q).exists(_.contains("serve/tier")),
+      "aliased conv_id routed: " + q.queryExecution.optimizedPlan.toString)
+    // and a wrong-ts alias must bail too
+    def q2 = spark.read.parquet(rawDir)
+      .select($"conv_id", ($"ts" + expr("INTERVAL 1 HOUR")).as("ts"))
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+    assert(!scannedPaths(q2).exists(_.contains("serve/tier")),
+      "shifted-ts alias routed: " + q2.queryExecution.optimizedPlan.toString)
+    // values stay correct (computed from raw)
+    val expected = turns
+      .select($"ts", $"turn_idx".cast("string").as("conv_id"))
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    assert(q.as[(String, java.sql.Timestamp, Long)].collect().toSet == expected)
+  }
+
+  test("an aggregate FILTER clause blocks routing (partials cannot re-filter)") {
+    val turns = TranscriptGen.generate(spark, 6, 15, seed = 86L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(rawDir).createOrReplaceTempView("raw_filter_sql")
+    def q = spark.sql(
+      """SELECT conv_id, tier_bucket(ts, '1h') AS bucket_ts,
+        |  count(*) FILTER (WHERE role = 'user') AS user_cnt
+        |FROM raw_filter_sql GROUP BY 1, 2""".stripMargin)
+    assert(!scannedPaths(q).exists(_.contains("serve/tier")),
+      q.queryExecution.optimizedPlan.toString)
+    val expected = turns
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(when($"role" === "user", 1)).as("user_cnt"))
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    assert(q.as[(String, java.sql.Timestamp, Long)].collect().toSet == expected)
   }
 }

@@ -143,6 +143,22 @@ class PipelineSpec extends SparkSuite {
     batch.unpersist()
   }
 
+  test("intra-batch duplicates (retried producer) count once with dedupe") {
+    val store = new TranscriptStore(spark, tmpWarehouse("inbatch"), convBuckets = 2)
+    val batch = TranscriptGen.generate(spark, 6, 12, seed = 77L).toDF().cache()
+    // one delivery containing every turn TWICE — the at-least-once
+    // upstream's retried-batch shape; the anti join alone only screens
+    // against rows already committed, not within the batch
+    store.ingest(batch.unionByName(batch), dedupe = true)
+    store.rollupIncremental()
+    assert(store.readTurns().count() == batch.count(),
+      "intra-batch duplicates survived ingest(dedupe=true)")
+    val want = tierRows(Rollup.rollupRaw(batch, Tier.Minute))
+    assert(tierRows(store.readTier(Tier.Minute)) == want,
+      "tiers double-counted an intra-batch duplicate")
+    batch.unpersist()
+  }
+
   test("1h tier chunk columns decode to exactly the 1m series per coarse bucket") {
     val store = new TranscriptStore(spark, tmpWarehouse("chunk"), convBuckets = 2)
     val turns = TranscriptGen.generate(spark, 10, 40, seed = 71L).toDF().cache()

@@ -130,6 +130,41 @@ class VacuumSpec extends SparkSuite {
     assert(t.currentSnapshot.get.files.forall(_.minTsUs.isDefined))
   }
 
+  test("per-file stats are correct when one task writes colliding filenames across partitions") {
+    // Spark's dynamic-partition writer reuses part-00000-<uuid>.c000 in
+    // EVERY partition dir a task writes: coalesce(1) forces one task
+    // over two disjoint-range days, so the two files share a basename.
+    // A stats map keyed by bare filename collides and one file inherits
+    // the other's bounds → silent pruning data loss.
+    val t = mkTable()
+    val early = dayTurns(2, 20L)
+    val late = dayTurns(2, 21L)
+      .withColumn("ts", col("ts") + expr("INTERVAL 30 DAYS"))
+      .withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))
+    t.append(early.unionByName(late).coalesce(1))
+    val files = t.currentSnapshot.get.files
+    val basenames = files.map(_.path.split('/').last)
+    assert(basenames.distinct.size < basenames.size,
+      s"fixture failed to produce colliding basenames: $basenames")
+    // every file's recorded bounds must equal the file's ACTUAL bounds
+    files.foreach { f =>
+      val actual = spark.read.parquet(s"${t.root}/data/${f.path}")
+        .agg(min(unix_micros(col("ts").cast("timestamp"))),
+          max(unix_micros(col("ts").cast("timestamp"))))
+        .as[(Long, Long)].head()
+      assert(f.minTsUs.contains(actual._1) && f.maxTsUs.contains(actual._2),
+        s"stats mismatch for ${f.path}: recorded (${f.minTsUs}, ${f.maxTsUs}) " +
+          s"actual $actual")
+    }
+    // and a range read over only the late window returns every late row
+    val lateBounds = late.agg(
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .as[(Long, Long)].head()
+    assert(t.readRange(lateBounds._1, lateBounds._2)
+      .filter(unix_micros(col("ts").cast("timestamp")).between(lateBounds._1, lateBounds._2))
+      .count() == late.count())
+  }
+
   test("tables without a stats column never prune") {
     val t = mkTable(statsCol = None)
     t.append(dayTurns(2, 8L))
