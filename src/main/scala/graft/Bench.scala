@@ -84,9 +84,33 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // the round-2 query set, frozen: round-over-round comparisons read
+    // common_total so newly added queries stop confounding the trend
+    val commonTotal = results.collect {
+      case (k, v) if r2Queries.contains(k) && v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"error_count":${errors.size},""" +
+      s""""common_total":$commonTotal,"common_n":${r2Queries.size},""" +
       s""""rollup_throughput_turns_per_sec":$throughput,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** The 47 queries benched in round 2 (BENCH_r02.json) — the stable
+    * basis for cross-round wall-time comparison.
+    */
+  private val r2Queries: Set[String] = Set(
+    "q1_agg", "q_align_join", "q_anti_join", "q_asof_align",
+    "q_asof_prev_user", "q_chunk_roundtrip", "q_collect_tools",
+    "q_conv_wide", "q_cumulative_1d", "q_cumulative_distinct_tools",
+    "q_daily_active", "q_dedup_drop_all", "q_dedup_exact",
+    "q_embed_cosine_topk", "q_embed_lsh_topk", "q_embed_neardup",
+    "q_embed_neardup_lsh", "q_frame_sample", "q_gapfill_1h",
+    "q_gapfill_locf_1h", "q_gapfill_zero_1h", "q_head_per_conv",
+    "q_lang_id", "q_median_text_len", "q_minhash_lsh", "q_mode_tool",
+    "q_multimodal_meta", "q_ngram_jaccard", "q_ngram_jaccard_lsh",
+    "q_region_rollup", "q_role_pivot", "q_rollup_1d", "q_rollup_1h",
+    "q_rollup_1m", "q_rollup_30s", "q_rollup_cascade_1d",
+    "q_rollup_round_5m", "q_rollup_salted_1m", "q_semi_join",
+    "q_sessionize", "q_simhash", "q_text_stats", "q_tokenize",
+    "q_tree_depth", "q_tree_depth_doubling", "q_turns", "q_window_lag")
 }

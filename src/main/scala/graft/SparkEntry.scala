@@ -57,6 +57,11 @@ object SparkEntry {
     "q_rollup_salted_1m" -> ((s, dir) =>
       Rollup.rollupRawSalted(turns(s, dir), Tier.Minute, saltBuckets = 16)),
 
+    // --- CALENDAR bucket width (the "1s…1y" grammar's month tail):
+    // months-since-epoch floor ≡ date_trunc('month') — the bread-and-
+    // butter monthly report the fixed-width path can't express ---
+    "q_rollup_1mo" -> ((s, dir) => Rollup.rollupRawWidth(turns(s, dir), "1mo")),
+
     // --- cumulative counts over buckets (J3/A5 as window, not loops) ---
     "q_cumulative_1d" -> ((s, dir) => {
       val t1d = Rollup.rollupRaw(turns(s, dir), Tier.Day)
@@ -194,6 +199,23 @@ object SparkEntry {
           col("ts"))
         .agg(sum(round(col("value") * 100).cast("long")).as("purchase_cents"))
       AsOf.join(t, purchases, Seq("conv_id"), toleranceUs = 3600L * 1000000L)
+        .select(col("conv_id"), col("turn_idx"), col("purchase_cents"),
+          col("matched_ts"))
+    }),
+
+    // --- FORWARD as-of: every turn matched with the EARLIEST purchase
+    // at-or-after it (the symmetric dual — feeds can skew either way),
+    // 1h tolerance; oracled by DuckDB's native forward ASOF JOIN ---
+    "q_asof_align_fwd" -> ((s, dir) => {
+      val t = turns(s, dir).select(col("conv_id"), col("turn_idx"), col("ts"))
+      val purchases = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .groupBy(
+          concat(lit("conv-"), lpad(col("user_id").cast("string"), 6, "0")).as("conv_id"),
+          col("ts"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("purchase_cents"))
+      AsOf.join(t, purchases, Seq("conv_id"), toleranceUs = 3600L * 1000000L,
+          direction = AsOf.Direction.Forward)
         .select(col("conv_id"), col("turn_idx"), col("purchase_cents"),
           col("matched_ts"))
     }),
@@ -453,7 +475,30 @@ object SparkEntry {
 
     // --- multimodal: frame sampling generator ---
     "q_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.synthesize(s, dir), stepS = 5)))
+      Multimodal.sampleFrames(Multimodal.synthesize(s, dir), stepS = 5)),
+
+    // --- log template mining (reference S5, LogsParser.py:21-37):
+    // deterministic log lines built from events, variables masked to
+    // <VAR>, event_id = oracle-checkable template fingerprint ---
+    "q_log_templates" -> ((s, dir) =>
+      graft.functions.LogTemplates.mine(logLines(s, dir), "line")
+        .select(col("line_id"), col("event_id"), col("template"),
+          col("n_params"), array_join(col("params"), "|").as("params_joined"))),
+
+    // --- the mined template vocabulary with per-template counts ---
+    "q_log_template_counts" -> ((s, dir) =>
+      graft.functions.LogTemplates.templateCounts(logLines(s, dir), "line")))
+
+  /** Deterministic raw-log-line fixture: one line per event, digits
+    * from user ids and the props payload — shared by the template
+    * queries and their oracle SQL (which rebuilds the same lines with
+    * string concatenation).
+    */
+  private def logLines(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id").as("line_id"),
+        concat(col("event_type"), lit(" user "), col("user_id").cast("string"),
+          lit(" props "), col("props")).as("line"))
 
   /** documents ∪ re-id'd copies of every 7th doc — the duplicate
     * fixture shared by the dedup queries and their oracle SQL.
@@ -535,6 +580,9 @@ object SparkEntry {
           |  count(CASE WHEN tool = 'translate' THEN 1 END) AS tool_translate
           |FROM turns WHERE tool IS NOT NULL GROUP BY conv_id""".stripMargin),
       "q_rollup_salted_1m" -> withTurns(Rollup.oracleSql(Tier.Minute)),
+      // calendar month bucket ≡ date_trunc('month') — the oracle
+      // proves the months-since-epoch arithmetic IS calendar flooring
+      "q_rollup_1mo" -> withTurns(Rollup.oracleSqlExpr("date_trunc('month', ts)")),
       "q_cumulative_1d" -> withTurns(
         s"""SELECT conv_id, bucket_ts,
            |  CAST(sum(turn_cnt) OVER w AS BIGINT) AS cum_turns,
@@ -663,6 +711,23 @@ object SparkEntry {
           |       THEN p.ts END AS matched_ts
           |FROM turns t ASOF LEFT JOIN p
           |  ON t.conv_id = p.conv_id AND t.ts >= p.ts""".stripMargin),
+      // forward direction: DuckDB ASOF also supports t.ts <= p.ts
+      // (earliest at-or-after, inclusive ties — verified semantics)
+      "q_asof_align_fwd" -> withTurns(
+        """WITH p AS (
+          |  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+          |    ts,
+          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT t.conv_id, t.turn_idx,
+          |  CASE WHEN p.ts IS NOT NULL
+          |        AND epoch_us(p.ts) - epoch_us(t.ts) <= 3600000000
+          |       THEN p.cents END AS purchase_cents,
+          |  CASE WHEN p.ts IS NOT NULL
+          |        AND epoch_us(p.ts) - epoch_us(t.ts) <= 3600000000
+          |       THEN p.ts END AS matched_ts
+          |FROM turns t ASOF LEFT JOIN p
+          |  ON t.conv_id = p.conv_id AND t.ts <= p.ts""".stripMargin),
       "q_sessionize" -> withTurns(
         """WITH g AS (
           |  SELECT conv_id, turn_idx, ts,
@@ -855,8 +920,55 @@ object SparkEntry {
       "q_frame_sample" ->
         """SELECT doc_id,
           |  CAST(unnest(generate_series(0, CAST(doc_id % 30 AS INT), 5)) AS INT) AS frame_ts_s
-          |FROM documents WHERE doc_id % 3 = 2""".stripMargin)
+          |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+      "q_log_templates" ->
+        s"""WITH $logLinesSql,
+           |t AS (
+           |  SELECT line_id,
+           |    regexp_replace(line, '$logVarPat', '<VAR>', 'g') AS template,
+           |    regexp_extract_all(line, '$logVarPat') AS params
+           |  FROM m)
+           |SELECT line_id,
+           |  ${fingerprintSql("template")} AS event_id,
+           |  template,
+           |  CAST(len(params) AS BIGINT) AS n_params,
+           |  array_to_string(params, '|') AS params_joined
+           |FROM t""".stripMargin,
+      "q_log_template_counts" ->
+        s"""WITH $logLinesSql,
+           |t AS (
+           |  SELECT line_id,
+           |    regexp_replace(line, '$logVarPat', '<VAR>', 'g') AS template,
+           |    regexp_extract_all(line, '$logVarPat') AS params
+           |  FROM m)
+           |SELECT ${fingerprintSql("template")} AS event_id,
+           |  template,
+           |  count(*) AS line_cnt,
+           |  CAST(sum(CAST(len(params) AS BIGINT)) AS BIGINT) AS param_cnt
+           |FROM t GROUP BY template""".stripMargin)
   }
+
+  /** The shared pattern + line fixture the template oracles splice. */
+  private def logVarPat: String = graft.functions.LogTemplates.varPattern
+
+  // NOTE: spliced into outer .stripMargin strings — no continuation
+  // line here may START with '|' (a leading '||' would lose one pipe
+  // to the second stripMargin pass)
+  private val logLinesSql: String =
+    """m AS (
+      |  SELECT event_id AS line_id,
+      |    event_type || ' user ' || CAST(user_id AS VARCHAR) ||
+      |      ' props ' || props AS line
+      |  FROM events)""".stripMargin
+
+  /** DuckDB mirror of [[TextFunctions.Fingerprint]] over a string
+    * SQL expression (the q_text_stats parity fold, factored out).
+    */
+  private def fingerprintSql(colExpr: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |    list_transform(generate_series(1, length($colExpr)),
+       |      i -> CAST(ord(substr($colExpr, i, 1)) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
 
   /** One oracle for BOTH tree-depth algorithms (BFS and pointer
     * doubling): a manual WITH RECURSIVE — withTurns can't splice the

@@ -26,22 +26,48 @@ import graft.model.Tier
   */
 object GapFill {
 
+  /** Hard ceiling on the densified grid size per conversation
+    * (overridable per call): densifying a years-long conversation at
+    * a 1m tier would explode one group to millions of rows — a wrong
+    * TIER choice, which must fail loudly at the offending key instead
+    * of OOMing an executor mid-shuffle.
+    */
+  val defaultMaxBucketsPerConv: Long = 100000L
+
+  /** Dense per-conversation bucket grid: sequence() is codegen'd, no
+    * UDF. The span guard is woven into `lo` (not a standalone column
+    * Catalyst would prune away): any conversation whose span exceeds
+    * `maxBucketsPerConv` buckets raises with the conv_id in the
+    * message.
+    */
+  private def grid(tierRows: DataFrame, tier: Tier, maxBucketsPerConv: Long): DataFrame = {
+    val step = expr(s"INTERVAL ${tier.millis / 1000} SECONDS")
+    val widthUs = lit(tier.millis * 1000L)
+    val spanBuckets =
+      (unix_micros(col("hi")) - unix_micros(col("lo"))) / widthUs + lit(1L)
+    val loChecked = when(spanBuckets > lit(maxBucketsPerConv),
+      raise_error(concat(
+        lit(s"gap-fill grid exceeds $maxBucketsPerConv buckets/conv at tier "),
+        lit(tier.name), lit(" for conv_id="), col("conv_id"),
+        lit(" — use a coarser tier or raise maxBucketsPerConv")))
+        .cast("timestamp"))
+      .otherwise(col("lo"))
+    tierRows
+      .groupBy(col("conv_id"))
+      .agg(min(col("bucket_ts")).as("lo"), max(col("bucket_ts")).as("hi"))
+      .select(col("conv_id"),
+        explode(sequence(loChecked, col("hi"), step)).as("bucket_ts"))
+  }
+
   /** Densify + interpolate one metric column of a tier table.
     *
     * @param tierRows (conv_id, bucket_ts, <valueCol>, ...) rows
     * @param valueCol  numeric column to interpolate (read as double)
     * @return (conv_id, bucket_ts, value double, filled boolean)
     */
-  def linear(tierRows: DataFrame, valueCol: String, tier: Tier): DataFrame = {
-    val step = expr(s"INTERVAL ${tier.millis / 1000} SECONDS")
-    // dense per-conversation grid: sequence() is codegen'd, no UDF
-    val grid = tierRows
-      .groupBy(col("conv_id"))
-      .agg(min(col("bucket_ts")).as("lo"), max(col("bucket_ts")).as("hi"))
-      .select(col("conv_id"),
-        explode(sequence(col("lo"), col("hi"), step)).as("bucket_ts"))
-
-    val joined = grid.join(
+  def linear(tierRows: DataFrame, valueCol: String, tier: Tier,
+      maxBucketsPerConv: Long = defaultMaxBucketsPerConv): DataFrame = {
+    val joined = grid(tierRows, tier, maxBucketsPerConv).join(
       tierRows.select(col("conv_id"), col("bucket_ts"),
         col(valueCol).cast("double").as("_v")),
       Seq("conv_id", "bucket_ts"), "left")
@@ -69,14 +95,9 @@ object GapFill {
     * observed value (the standard monitoring-dashboard mode). Same
     * grid/window machinery as [[linear]], one window pass.
     */
-  def locf(tierRows: DataFrame, valueCol: String, tier: Tier): DataFrame = {
-    val step = expr(s"INTERVAL ${tier.millis / 1000} SECONDS")
-    val grid = tierRows
-      .groupBy(col("conv_id"))
-      .agg(min(col("bucket_ts")).as("lo"), max(col("bucket_ts")).as("hi"))
-      .select(col("conv_id"),
-        explode(sequence(col("lo"), col("hi"), step)).as("bucket_ts"))
-    val joined = grid.join(
+  def locf(tierRows: DataFrame, valueCol: String, tier: Tier,
+      maxBucketsPerConv: Long = defaultMaxBucketsPerConv): DataFrame = {
+    val joined = grid(tierRows, tier, maxBucketsPerConv).join(
       tierRows.select(col("conv_id"), col("bucket_ts"),
         col(valueCol).cast("double").as("_v")),
       Seq("conv_id", "bucket_ts"), "left")
@@ -91,14 +112,9 @@ object GapFill {
   /** Zero fill: gaps become 0 — correct for additive count metrics
     * (a bucket with no turns has zero turns, not "unknown turns").
     */
-  def zero(tierRows: DataFrame, valueCol: String, tier: Tier): DataFrame = {
-    val step = expr(s"INTERVAL ${tier.millis / 1000} SECONDS")
-    val grid = tierRows
-      .groupBy(col("conv_id"))
-      .agg(min(col("bucket_ts")).as("lo"), max(col("bucket_ts")).as("hi"))
-      .select(col("conv_id"),
-        explode(sequence(col("lo"), col("hi"), step)).as("bucket_ts"))
-    grid.join(
+  def zero(tierRows: DataFrame, valueCol: String, tier: Tier,
+      maxBucketsPerConv: Long = defaultMaxBucketsPerConv): DataFrame =
+    grid(tierRows, tier, maxBucketsPerConv).join(
         tierRows.select(col("conv_id"), col("bucket_ts"),
           col(valueCol).cast("double").as("_v")),
         Seq("conv_id", "bucket_ts"), "left")
@@ -106,5 +122,4 @@ object GapFill {
         col("conv_id"), col("bucket_ts"),
         coalesce(col("_v"), lit(0.0d)).as("value"),
         col("_v").isNull.as("filled"))
-  }
 }

@@ -87,10 +87,13 @@ object Rollup {
   // ------------------------------------------------------------------
 
   private val widthRe = "^([0-9]+)(s|m|h|d|w)$".r
+  private val calRe = "^([0-9]+)(mo|y)$".r
 
-  /** Parse a width spec ("30s", "5m", "2h", "1d", "1w") to micros.
-    * Calendar widths (month/year) are not fixed-length and need
-    * date_trunc semantics instead — rejected here by design.
+  /** Parse a FIXED width spec ("30s", "5m", "2h", "1d", "1w") to
+    * micros. Calendar widths (month/year) are not fixed-length and
+    * take the calendar branch of [[bucketWidth]] instead — rejected
+    * here by design (callers that need a constant width, e.g. the
+    * as-of tolerance, cannot use a calendar spec).
     */
   def parseWidthUs(spec: String): Long = spec match {
     case widthRe(n, u) =>
@@ -105,20 +108,47 @@ object Rollup {
       require(v > 0, s"zero-width bucket: $spec")
       v
     case other => throw new IllegalArgumentException(
-      s"bad bucket width '$other' (expected <n><s|m|h|d|w>)")
+      s"bad bucket width '$other' (expected <n><s|m|h|d|w|mo|y>)")
   }
 
-  /** Floor (default) or round-half-up `ts` to an arbitrary
-    * fixed-width bucket. Same pure-Long codegen arithmetic as
-    * [[bucket]]; `nearest = true` reproduces the reference's
-    * `dt.round` semantics: ties (exactly half a width) round UP.
+  /** Floor (default) or round-half-up `ts` to an arbitrary bucket.
+    *
+    * Fixed widths (s/m/h/d/w) use the same pure-Long codegen
+    * arithmetic as [[bucket]]; `nearest = true` reproduces the
+    * reference's `dt.round` semantics: ties (exactly half a width)
+    * round UP.
+    *
+    * CALENDAR widths (`<n>mo`, `<n>y` — the rest of the reference's
+    * "1s…1y" grammar, ParseSettings.py:17-19) are not fixed-length:
+    * they floor in months-since-epoch space (`1mo` ≡ DuckDB/Spark
+    * `date_trunc('month')`, `3mo` ≡ quarter, `1y` ≡ year — proven by
+    * the q_rollup_1mo oracle). Round-to-NEAREST is refused for
+    * calendar widths: "half a month" is ill-defined across 28/31-day
+    * months.
     */
-  def bucketWidth(tsCol: Column, spec: String, nearest: Boolean = false): Column = {
-    val w = parseWidthUs(spec)
-    val us0 = unix_micros(tsCol.cast("timestamp"))
-    val us = if (nearest) us0 + lit(w / 2) else us0
-    timestamp_micros(us - pmod(us, lit(w)))
-  }
+  def bucketWidth(tsCol: Column, spec: String, nearest: Boolean = false): Column =
+    spec match {
+      case calRe(n, u) =>
+        require(!nearest,
+          s"round-to-nearest is undefined for calendar width '$spec'")
+        val perBucket = n.toInt * (if (u == "y") 12 else 1)
+        require(perBucket > 0, s"zero-width bucket: $spec")
+        val ts = tsCol.cast("timestamp")
+        // months since epoch, floored to the bucket; pmod keeps floor
+        // semantics pre-1970. Integer division via floor(x/12) on the
+        // already-floored month count (always a multiple of perBucket).
+        val mos = (year(ts) - lit(1970)) * lit(12) + (month(ts) - lit(1))
+        val floored = mos - pmod(mos, lit(perBucket))
+        to_timestamp(make_date(
+          lit(1970) + floor(floored.cast("double") / 12.0).cast("int"),
+          pmod(floored, lit(12)).cast("int") + lit(1),
+          lit(1)))
+      case _ =>
+        val w = parseWidthUs(spec)
+        val us0 = unix_micros(tsCol.cast("timestamp"))
+        val us = if (nearest) us0 + lit(w / 2) else us0
+        timestamp_micros(us - pmod(us, lit(w)))
+    }
 
   /** [[rollupRaw]] at an arbitrary width/mode. */
   def rollupRawWidth(turns: DataFrame, spec: String, nearest: Boolean = false): DataFrame =

@@ -171,6 +171,37 @@ object ReferenceShapes {
         (to_timestamp(concat_ws(" ", col("Date"), col("Time")))
           + expr(s"INTERVAL $hourOffset HOURS")).as("original_timestamp"))
 
+  /** S5: RAW `.log` text → the structured shape, replacing the
+    * reference's AEL mining stage (LogsParser.py:21-37) with the
+    * relational template miner. One regexp parses the reference's own
+    * log_format `<Date> <Time> <Level> <Number>---<LoggingReporter>:
+    * <Content>` (LogsParser.py:26); [[graft.functions.LogTemplates]]
+    * then masks Content's variables into (EventId, EventTemplate,
+    * params). Output columns match [[parseStructuredLogs]], so the
+    * result feeds [[joinThreeFeeds]] unchanged — a user pointing the
+    * engine at raw agent/tool logs gets the full pipeline.
+    */
+  def parseRawLogs(spark: SparkSession, path: String,
+      serviceName: String, hourOffset: Int = 0): DataFrame = {
+    val lineRe = "^(\\S+) (\\S+) (\\S+) (\\d+)---([^:]*): (.*)$"
+    val parsed = spark.read.text(path)
+      .select(
+        regexp_extract(col("value"), lineRe, 1).as("Date"),
+        regexp_extract(col("value"), lineRe, 2).as("Time"),
+        regexp_extract(col("value"), lineRe, 3).as("Level"),
+        regexp_extract(col("value"), lineRe, 6).as("Content"))
+      .filter(col("Date") =!= "") // unparseable lines drop, as in AEL
+    graft.functions.LogTemplates.mine(parsed, "Content")
+      .select(
+        col("Level"),
+        concat(lit("E"), col("event_id").cast("string")).as("EventId"),
+        col("template").as("EventTemplate"),
+        col("Content"),
+        lit(serviceName).as("source_servicename"),
+        (to_timestamp(concat_ws(" ", col("Date"), col("Time")))
+          + expr(s"INTERVAL $hourOffset HOURS")).as("original_timestamp"))
+  }
+
   // ---------------------------------------------------------------
   // composed three-feed pipeline
   // ---------------------------------------------------------------

@@ -60,4 +60,26 @@ class EntrySpec extends SparkSuite {
       assert(err <= 0.05, s"${r.get(0)}: sketch err $err (exact=$exact approx=$approx)")
     }
   }
+
+  test("percentile_approx(0.5) tracks the exact rank-median per conversation") {
+    // the 100-TB percentile path is the t-digest-style sketch
+    // (percentile_approx, one pass, mergeable partials); this pins it
+    // to the exact rank-based q_median_text_len within 10% relative
+    // error — the HLL-vs-exact pattern for the percentile family
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val exact = SparkEntry.queries("q_median_text_len")(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val approx = TranscriptGen.fromEvents(spark, sfDir)
+      .groupBy(col("conv_id"))
+      .agg(percentile_approx(length(col("text")).cast("long"), lit(0.5),
+        lit(1000)).as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(exact.nonEmpty && exact.keySet == approx.keySet)
+    exact.foreach { case (conv, ex) =>
+      val ap = approx(conv)
+      val err = math.abs(ap - ex).toDouble / math.max(ex, 1L)
+      assert(err <= 0.10, s"$conv: percentile sketch err $err (exact=$ex approx=$ap)")
+    }
+  }
 }

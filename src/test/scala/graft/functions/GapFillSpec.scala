@@ -62,6 +62,28 @@ class GapFillSpec extends SparkSuite {
     assert(filled > 0, "fixture produced no gaps")
   }
 
+  test("span guard: a grid beyond maxBucketsPerConv fails loudly with the conv_id") {
+    // a 1m-tier series spanning ~8 days = 11520 buckets; cap at 1000
+    val rows = Seq(
+      ("c-runaway", ts(0), 1L), ("c-runaway", ts(8L * 24 * 60), 2L),
+      ("c-ok", ts(0), 3L), ("c-ok", ts(10), 4L))
+      .toDF("conv_id", "bucket_ts", "text_len_sum")
+    val e = intercept[Exception] {
+      GapFill.linear(rows, "text_len_sum", Tier.Minute,
+        maxBucketsPerConv = 1000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val all = msgs(e).mkString(" | ")
+    assert(all.contains("gap-fill grid exceeds 1000"), all)
+    assert(all.contains("c-runaway"), all)
+    // same data passes with the default ceiling, all modes
+    assert(GapFill.linear(rows, "text_len_sum", Tier.Minute).count() > 0)
+    assert(GapFill.locf(rows, "text_len_sum", Tier.Minute).count() > 0)
+    assert(GapFill.zero(rows, "text_len_sum", Tier.Minute).count() > 0)
+  }
+
   test("locf carries the previous observation; zero fills additive gaps with 0") {
     val rows = Seq(
       ("c1", ts(0), 10L), ("c1", ts(1), 20L), ("c1", ts(4), 50L))

@@ -94,6 +94,50 @@ class RollupSpec extends SparkSuite {
       ("00:02:30", "00:02:30", "00:05:00")))
   }
 
+  test("calendar widths: month/year flooring across 28/30/31-day and leap boundaries") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      "2024-01-31 23:59:59", // 31-day month end
+      "2024-02-01 00:00:00", // month start boundary
+      "2024-02-29 12:00:00", // leap day
+      "2024-04-30 23:59:59", // 30-day month end
+      "2023-02-28 23:59:59", // non-leap Feb end
+      "2024-12-31 23:59:59", // year end
+      "2025-01-01 00:00:00"  // year start
+    ).toDF("s").select(to_timestamp($"s").as("ts"))
+    def fmt(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd HH:mm:ss")
+    val got = df.select(
+      fmt(Rollup.bucketWidth($"ts", "1mo")).as("mo"),
+      fmt(Rollup.bucketWidth($"ts", "3mo")).as("q"),
+      fmt(Rollup.bucketWidth($"ts", "1y")).as("y"))
+      .as[(String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01 00:00:00", "2024-01-01 00:00:00", "2024-01-01 00:00:00"),
+      ("2024-02-01 00:00:00", "2024-01-01 00:00:00", "2024-01-01 00:00:00"),
+      ("2024-02-01 00:00:00", "2024-01-01 00:00:00", "2024-01-01 00:00:00"),
+      ("2024-04-01 00:00:00", "2024-04-01 00:00:00", "2024-01-01 00:00:00"),
+      ("2023-02-01 00:00:00", "2023-01-01 00:00:00", "2023-01-01 00:00:00"),
+      ("2024-12-01 00:00:00", "2024-10-01 00:00:00", "2024-01-01 00:00:00"),
+      ("2025-01-01 00:00:00", "2025-01-01 00:00:00", "2025-01-01 00:00:00")))
+  }
+
+  test("calendar widths equal date_trunc; nearest mode is refused") {
+    import org.apache.spark.sql.functions._
+    val ts = turnsDs.toDF().select($"ts")
+    val mism = ts.select(
+      Rollup.bucketWidth($"ts", "1mo").as("a"),
+      date_trunc("month", $"ts".cast("timestamp")).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(mism == 0, "1mo diverges from date_trunc('month')")
+    val mismY = ts.select(
+      Rollup.bucketWidth($"ts", "1y").as("a"),
+      date_trunc("year", $"ts".cast("timestamp")).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(mismY == 0, "1y diverges from date_trunc('year')")
+    intercept[IllegalArgumentException](
+      Rollup.bucketWidth($"ts", "1mo", nearest = true))
+  }
+
   test("tier-width bucketWidth agrees with the Tier bucket") {
     import org.apache.spark.sql.functions._
     val ts = turnsDs.toDF().select($"ts")
