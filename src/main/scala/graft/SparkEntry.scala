@@ -477,6 +477,17 @@ object SparkEntry {
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.synthesize(s, dir), stepS = 5)),
 
+    // --- multimodal CONTENT decode: extract the container's payload
+    // (IDAT/mdat, CRC-checked) and compute integral content stats.
+    // PNG/MP4 bodies are exactly the text bytes, so the oracle
+    // recomputes every column from `text` — a full encode→decode
+    // content round-trip through real container structure. (WAV is
+    // excluded here: its data chunk is text CYCLED to the duration;
+    // covered in MultimodalSpec.) ---
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.contentStatsOf(
+        Multimodal.synthesize(s, dir).filter(col("modality") =!= "audio"))),
+
     // --- log template mining (reference S5, LogsParser.py:21-37):
     // deterministic log lines built from events, variables masked to
     // <VAR>, event_id = oracle-checkable template fingerprint ---
@@ -921,6 +932,24 @@ object SparkEntry {
         """SELECT doc_id,
           |  CAST(unnest(generate_series(0, CAST(doc_id % 30 AS INT), 5)) AS INT) AS frame_ts_s
           |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+      // PNG (doc_id%3=0) and MP4 (doc_id%3=2) bodies are the text
+      // bytes verbatim; ASCII fixture → ord(ch) == byte, bins 0-3
+      "q_media_features" ->
+        """WITH c AS (
+          |  SELECT doc_id, text,
+          |    list_transform(generate_series(1, strlen(text)),
+          |      i -> ord(substr(text, i, 1))) AS codes
+          |  FROM documents WHERE doc_id % 3 != 1)
+          |SELECT doc_id,
+          |  CAST(strlen(text) AS BIGINT) AS body_len,
+          |  CAST(len(list_filter(codes, c -> c // 32 = 0)) AS BIGINT) AS hist_0,
+          |  CAST(len(list_filter(codes, c -> c // 32 = 1)) AS BIGINT) AS hist_1,
+          |  CAST(len(list_filter(codes, c -> c // 32 = 2)) AS BIGINT) AS hist_2,
+          |  CAST(len(list_filter(codes, c -> c // 32 = 3)) AS BIGINT) AS hist_3,
+          |  CAST(len(list_filter(generate_series(2, strlen(text)),
+          |    i -> substr(text, i, 1) != substr(text, i - 1, 1))) AS BIGINT)
+          |    AS transitions
+          |FROM c""".stripMargin,
       "q_log_templates" ->
         s"""WITH $logLinesSql,
            |t AS (

@@ -163,6 +163,67 @@ object MediaHeaders {
     else if (tag(bytes, 4) == "ftyp") parseMp4(bytes)
     else None
 
+  /** Extract the CONTENT payload from the container — the image data
+    * (first IDAT chunk, CRC-verified), audio samples (RIFF data
+    * chunk), or video essence (mdat box). The decode seam content
+    * featurization builds on; same Long-math bounds discipline and
+    * None-on-corrupt contract as [[parse]].
+    */
+  def extractBody(bytes: Array[Byte]): Option[Array[Byte]] =
+    scala.util.Try(extractBodySniffed(bytes)).toOption.flatten
+
+  private def extractBodySniffed(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length >= 8 && b.take(8).sameElements(pngSig)) pngChunkPayload(b, "IDAT")
+    else if (tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") riffChunkPayload(b, "data")
+    else if (tag(b, 4) == "ftyp") mp4BoxPayload(b, "mdat")
+    else None
+
+  private def pngChunkPayload(b: Array[Byte], want: String): Option[Array[Byte]] = {
+    var off = 8
+    while (off + 8 <= b.length) {
+      val len = readBe32(b, off)
+      val typ = tag(b, off + 4)
+      if (len < 0 || off + 12L + len > b.length) return None
+      if (typ == want) {
+        val crc = new CRC32()
+        crc.update(b, off + 4, 4 + len)
+        if (crc.getValue.toInt != readBe32(b, off + 8 + len)) return None
+        return Some(java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len))
+      }
+      off += 12 + len
+    }
+    None
+  }
+
+  private def riffChunkPayload(b: Array[Byte], want: String): Option[Array[Byte]] = {
+    var off = 12L
+    while (off + 8 <= b.length) {
+      val o = off.toInt
+      val id = tag(b, o)
+      val size = readLe32(b, o + 4)
+      if (size < 0) return None
+      if (id == want) {
+        if (o + 8L + size > b.length) return None
+        return Some(java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size))
+      }
+      off += 8L + size + (size & 1)
+    }
+    None
+  }
+
+  private def mp4BoxPayload(b: Array[Byte], want: String): Option[Array[Byte]] = {
+    var off = 0
+    while (off + 8 <= b.length) {
+      val size = readBe32(b, off)
+      val typ = tag(b, off + 4)
+      if (size < 8 || off.toLong + size > b.length) return None
+      if (typ == want)
+        return Some(java.util.Arrays.copyOfRange(b, off + 8, off + size))
+      off += size
+    }
+    None
+  }
+
   private def parsePng(b: Array[Byte]): Option[MediaMeta] = {
     var off = 8
     while (off + 8 <= b.length) {

@@ -83,28 +83,74 @@ object Multimodal {
       .withColumn("duration_s", col("_dec._4"))
       .drop("_dec")
 
-  /** Content featurization — STUB (deterministic byte-histogram
-    * moments; a production build swaps in a codec call behind the
-    * same bytes-in/vector-out signature).
+  /** Integral content statistics of a DECODED payload body: length,
+    * 8-bin byte histogram (bin = byte >>> 5), and the count of
+    * adjacent unequal bytes (the byte-domain zero-crossing analog —
+    * for our 8-bit PCM WAV it literally counts sample transitions).
+    * Integral so the feature family is oracle-checkable.
     */
-  val featureStub: Array[Byte] => Array[Float] = { bytes =>
-    val n = math.max(bytes.length, 1)
-    val out = new Array[Float](8)
+  def contentStats(body: Array[Byte]): (Long, Array[Long], Long) = {
+    val hist = new Array[Long](8)
+    var trans = 0L
     var i = 0
-    while (i < bytes.length) {
-      out(i % 8) += (bytes(i) & 0xFF) / 255.0f
+    while (i < body.length) {
+      hist((body(i) & 0xFF) >>> 5) += 1
+      if (i > 0 && body(i) != body(i - 1)) trans += 1
       i += 1
     }
-    var j = 0
-    while (j < 8) { out(j) = out(j) / n * 8.0f; j += 1 }
-    out
+    (body.length.toLong, hist, trans)
   }
 
-  /** Decode payloads into feature vectors (stubbed, see above). */
+  /** Content featurization — REAL decode path: extract the container's
+    * content payload ([[MediaHeaders.extractBody]]: IDAT / data chunk /
+    * mdat, CRC-checked where the format has one), then a fixed-width
+    * descriptor of the actual content bytes — normalized 8-bin
+    * histogram, transition rate, log-length. Deterministic; null on
+    * corrupt payloads. A production build swaps a learned encoder
+    * behind the same bytes-in/vector-out signature.
+    */
+  val contentFeatures: Array[Byte] => Option[Array[Float]] = { bytes =>
+    MediaHeaders.extractBody(bytes).map { body =>
+      val (n, hist, trans) = contentStats(body)
+      val d = math.max(n, 1L).toFloat
+      val out = new Array[Float](10)
+      var j = 0
+      while (j < 8) { out(j) = hist(j) / d; j += 1 }
+      out(8) = trans / d
+      out(9) = math.log1p(n.toDouble).toFloat
+      out
+    }
+  }
+
+  /** Decode payloads into feature vectors (real content decode; see
+    * [[contentFeatures]]). Output is fixed-width `array<float>` —
+    * directly usable by the [[Similarity]] ANN operators.
+    */
   def extractFeatures(mm: DataFrame): DataFrame = {
-    val decode = udf(featureStub)
+    val decode = udf(contentFeatures)
     mm.withColumn("features", decode(col("payload")))
   }
+
+  private val statsUdf = udf { bytes: Array[Byte] =>
+    MediaHeaders.extractBody(bytes).map { body =>
+      val (n, hist, trans) = contentStats(body)
+      (n, hist(0), hist(1), hist(2), hist(3), trans)
+    }
+  }
+
+  /** Integral content stats per payload (ASCII content occupies bins
+    * 0-3; higher bins stay zero and are elided). The oracle seam:
+    * for PNG/MP4 the generator's body IS the document text bytes, so
+    * DuckDB recomputes every column from `text` — a full content
+    * round-trip check through real container encode + decode.
+    */
+  def contentStatsOf(mm: DataFrame): DataFrame =
+    mm.withColumn("_st", statsUdf(col("payload")))
+      .select(col("doc_id"),
+        col("_st._1").as("body_len"),
+        col("_st._2").as("hist_0"), col("_st._3").as("hist_1"),
+        col("_st._4").as("hist_2"), col("_st._5").as("hist_3"),
+        col("_st._6").as("transitions"))
 
   /** Frame sampling for video rows: one row per sampled frame index,
     * every `stepS` seconds of the DECODED duration. Generator-based —

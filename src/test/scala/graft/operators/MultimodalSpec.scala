@@ -72,13 +72,48 @@ class MultimodalSpec extends SparkSuite {
     dec.unpersist()
   }
 
-  test("feature extraction: fixed-width vectors, deterministic") {
+  test("feature extraction: fixed-width vectors from REAL content decode, deterministic") {
     val f = Multimodal.extractFeatures(Multimodal.synthesize(spark, sfDir))
     val rows = f.select($"doc_id", $"features").as[(Long, Seq[Float])].collect()
-    assert(rows.forall(_._2.length == 8), "feature width must be fixed at 8")
+    assert(rows.forall(_._2 != null), "every valid payload must featurize")
+    assert(rows.forall(_._2.length == 10), "feature width must be fixed at 10")
     val again = Multimodal.extractFeatures(Multimodal.synthesize(spark, sfDir))
       .select($"doc_id", $"features").as[(Long, Seq[Float])].collect()
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // normalized histogram sums to ~1 (it IS content-derived, not padding)
+    rows.take(20).foreach { case (id, v) =>
+      val s = v.take(8).sum
+      assert(math.abs(s - 1.0f) < 1e-3, s"doc $id histogram sums to $s")
+    }
+  }
+
+  test("extractBody round-trips the builders' content payloads exactly") {
+    val body = "The quick brown fox".getBytes("UTF-8")
+    assert(MediaHeaders.extractBody(MediaHeaders.buildPng(320, 240, body))
+      .exists(_.sameElements(body)))
+    assert(MediaHeaders.extractBody(MediaHeaders.buildMp4(320, 240, 7, body))
+      .exists(_.sameElements(body)))
+    // WAV: data chunk is `fill` cycled to dataSize
+    val wav = MediaHeaders.buildWav(byteRate = 100, dataSize = 50, fill = body)
+    val data = MediaHeaders.extractBody(wav)
+    assert(data.exists(_.length == 50))
+    assert(data.get.zipWithIndex.forall { case (b, i) => b == body(i % body.length) })
+    // corrupt PNG: flip an IDAT byte → CRC fails → None
+    val png = MediaHeaders.buildPng(320, 240, body)
+    png(45) = (png(45) ^ 0xFF).toByte
+    assert(MediaHeaders.extractBody(png).isEmpty)
+    assert(MediaHeaders.extractBody("garbage".getBytes).isEmpty)
+  }
+
+  test("audio content stats: transitions count real PCM sample changes") {
+    // cycled fill "ab" → every adjacent pair differs: transitions = n-1
+    val wav = MediaHeaders.buildWav(byteRate = 10, dataSize = 40, fill = "ab".getBytes)
+    val (n, hist, trans) = Multimodal.contentStats(MediaHeaders.extractBody(wav).get)
+    assert(n == 40L && trans == 39L)
+    assert(hist(3) == 40L, "ASCII 'a'/'b' (97/98) land in bin 3")
+    // constant fill → zero transitions
+    val flat = MediaHeaders.buildWav(byteRate = 10, dataSize = 40, fill = "z".getBytes)
+    assert(Multimodal.contentStats(MediaHeaders.extractBody(flat).get)._3 == 0L)
   }
 
   test("frame sampling yields ceil(duration/step) rows per video") {
