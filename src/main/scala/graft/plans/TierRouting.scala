@@ -210,12 +210,25 @@ object TierRouting {
       case _ => None
     }
 
+    /** Scheme-stripped path-component prefix match: a scan of
+      * `<prefix>` or anything under `<prefix>/` belongs to the
+      * registered warehouse. A bare substring test would false-match
+      * sibling dirs sharing a name prefix (`/tmp/a` vs `/tmp/ab`) and
+      * route a FOREIGN table onto this warehouse's tiers.
+      */
+    private def underPrefix(path: String, prefix: String): Boolean = {
+      val p = path.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
+        .stripSuffix("/")
+      val pre = prefix.stripSuffix("/")
+      p == pre || p.startsWith(pre + "/")
+    }
+
     private def rawWarehouse(lr: LogicalRelation): Option[String] =
       lr match {
         case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
           val paths = fs.location.rootPaths.map(_.toString)
           catalog.collectFirst {
-            case (prefix, wh) if paths.exists(_.contains(prefix)) => wh
+            case (prefix, wh) if paths.exists(underPrefix(_, prefix)) => wh
           }
         case _ => None
       }

@@ -321,6 +321,27 @@ class TierRoutingSpec extends SparkSuite {
     assert(q.as[(String, java.sql.Timestamp, Long)].collect().toSet == expected)
   }
 
+  test("a sibling table sharing a name PREFIX never routes onto a foreign warehouse") {
+    val turns = TranscriptGen.generate(spark, 6, 15, seed = 87L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    // rawDir ends in /turns — write a DIFFERENT table at /turns_other:
+    // substring matching would claim it for the registered warehouse
+    val foreign = rawDir + "_other"
+    TranscriptGen.generate(spark, 3, 10, seed = 88L).toDF()
+      .write.mode("overwrite").parquet(foreign)
+    def q = spark.read.parquet(foreign)
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+    assert(!scannedPaths(q).exists(_.contains("serve/tier")),
+      "foreign table routed onto another warehouse's tiers: " +
+        q.queryExecution.optimizedPlan.toString)
+    // the registered table itself still routes
+    def qOwn = spark.read.parquet(rawDir)
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+    assert(scannedPaths(qOwn).exists(_.contains("serve/tier_1h")))
+  }
+
   test("an aggregate FILTER clause blocks routing (partials cannot re-filter)") {
     val turns = TranscriptGen.generate(spark, 6, 15, seed = 86L).toDF()
     val (rawDir, _, _) = mkStore(turns, publish = true)

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.datagen.TranscriptGen
+import graft.model.{Tier, Turn}
+
+class StreamingSessionizeSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** The batch sessionize plan (q_sessionize's exact shape) over an
+    * in-memory turns frame — the ground truth the stream must match.
+    */
+  private def batchGroundTruth(turns: Seq[Turn]) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"conv_id").orderBy($"turn_idx")
+    val flagged = turns.toDF().withColumn("new_session",
+      when(unix_micros($"ts".cast("timestamp")) -
+        lag(unix_micros($"ts".cast("timestamp")), 1).over(w) > 1800000000L, 1L)
+        .otherwise(lit(0L)))
+    flagged
+      .withColumn("session_id", sum($"new_session").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"conv_id", $"session_id")
+      .agg(count(lit(1)).as("turn_cnt"),
+        min($"ts").as("session_start"), max($"ts").as("session_end"))
+      .as[(String, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+  }
+
+  test("drained stream's closed sessions equal the batch window plan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // inflate every 5th turn boundary by 45 minutes so sessions
+    // actually split on the 30m gap rule
+    val turns = TranscriptGen.generate(spark, 8, 20, seed = 63L)
+      .collect().toSeq
+      .map { t =>
+        // whole-second shift: restore the original sub-second nanos
+        // (the Timestamp(ms) constructor would truncate micros)
+        val shifted = new java.sql.Timestamp(
+          t.ts.getTime + (t.turn_idx / 5).toLong * 2700000L)
+        shifted.setNanos(t.ts.getNanos)
+        t.copy(ts = shifted)
+      }
+    val ms = MemoryStream[Turn]
+    val out = StreamingSessionize.sessions(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // feed in two micro-batches split at the GLOBAL time median:
+    // state must carry open sessions across the batch boundary, and
+    // batch 2's rows all sit above the post-batch-1 watermark (an
+    // interleaved split would make half the rows late and dropped)
+    val medianMs = turns.map(_.ts.getTime).sorted.apply(turns.size / 2)
+    val (b1, b2) = turns.partition(_.ts.getTime < medianMs)
+    ms.addData(b1.sortBy(t => (t.conv_id, t.turn_idx)))
+    q.processAllAvailable()
+    ms.addData(b2.sortBy(t => (t.conv_id, t.turn_idx)))
+    q.processAllAvailable()
+    // flush row: watermark passes every session_end + gap → timeouts fire
+    val maxTs = turns.map(_.ts.getTime).max
+    ms.addData(Seq(Turn("zz-flush", 0, "user", "x", None,
+      new java.sql.Timestamp(maxTs + 2L * 86400000L))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_out")
+      .filter($"conv_id" =!= "zz-flush")
+      .as[(String, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    val want = batchGroundTruth(turns)
+    assert(got == want,
+      s"streaming sessions diverge: got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty && got.exists(_._2 > 0), "no session splits exercised")
+  }
+
+  test("mid-batch ordering: out-of-order arrival within one batch sorts by turn_idx") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // base offset keeps every row ABOVE the initial watermark (epoch
+    // 0): a row at exactly the watermark is late and dropped
+    def t(idx: Int, minute: Long) = Turn("c1", idx, "user", "x", None,
+      new java.sql.Timestamp((1000000L + minute) * 60000L))
+    // one conversation, one batch, shuffled: sessions = {0,1} split at
+    // the 40-minute gap between idx 2 and idx 3
+    val data = Seq(t(3, 100), t(0, 0), t(2, 60), t(1, 30), t(4, 110))
+    val ms = MemoryStream[Turn]
+    val q = StreamingSessionize.sessions(ms.toDS())
+      .writeStream.format("memory").queryName("sess_order")
+      .outputMode("append").start()
+    ms.addData(data)
+    ms.addData(Seq(Turn("zz-flush", 0, "user", "x", None,
+      new java.sql.Timestamp((1000000L + 100000L) * 60000L))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_order")
+      .filter($"conv_id" === "c1")
+      .orderBy($"session_id")
+      .as[(String, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSeq
+    assert(got.map(r => (r._2, r._3)) == Seq((0L, 3L), (1L, 2L)),
+      got.toString)
+  }
+}
