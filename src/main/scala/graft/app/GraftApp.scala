@@ -23,6 +23,9 @@ import graft.rollup.TranscriptStore
   *   vacuum  <warehouse> [retainSnapshots]     reclaim unreferenced bytes
   *   publish <warehouse>                       publish serving dirs + watermarks
   *   status  <warehouse>                       snapshots + tier row counts
+  *   export  <warehouse> <table> <outDir> [csv|parquet]
+  *                                             debug export (S10: the
+  *                                             reference's CSV sink)
   * }}}
   */
 object GraftApp {
@@ -86,6 +89,25 @@ object GraftApp {
       case "publish" =>
         store.publishServing()
         println(s"""{"op":"publish","warehouse":"$warehouse"}""")
+      case "export" =>
+        // S10 analog: the reference writes debug CSV next to each
+        // parquet output (FileConcat.py / `test_mode`); here it is an
+        // explicit verb so the debug sink never rides the hot path
+        val table = args(2)
+        val outDir = args(3)
+        val format = if (args.length > 4) args(4) else "csv"
+        val df = table match {
+          case "raw" => store.readTurns()
+          case "metrics" => store.readMetrics()
+          case t => store.readTier(Tier(t))
+        }
+        val writer = df.write.mode("overwrite")
+        format match {
+          case "csv" => writer.option("header", "true").csv(outDir)
+          case "parquet" => writer.parquet(outDir)
+          case f => sys.error(s"unknown export format $f")
+        }
+        println(s"""{"op":"export","table":"$table","format":"$format","rows":${df.count()}}""")
       case "status" =>
         val tiers = Tier.cascade.map(t =>
           s""""${t.name}":${store.readTier(t).count()}""").mkString(",")

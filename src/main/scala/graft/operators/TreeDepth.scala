@@ -49,15 +49,20 @@ object TreeDepth {
         .select(col("_tree"), col("_node"), lit(0L).as("depth"))
         .localCheckpoint()
       val acc = scala.collection.mutable.ArrayBuffer(frontier)
+      // one action per round (count on the materialized checkpoint),
+      // not two isEmpty probes — at height-many rounds the per-round
+      // job count is the fixed cost that dominates shallow forests
+      var n = frontier.count()
       var i = 0
-      while (i < maxIter && !frontier.isEmpty) {
+      while (i < maxIter && n > 0) {
         frontier = e
           .join(frontier.select(col("_tree"), col("_node").as("_p"), col("depth")),
             Seq("_tree"))
           .filter(col("_parent") === col("_p"))
           .select(col("_tree"), col("_node"), (col("depth") + 1L).as("depth"))
           .localCheckpoint()
-        if (!frontier.isEmpty) acc += frontier
+        n = frontier.count()
+        if (n > 0) acc += frontier
         i += 1
       }
       acc.reduce(_ unionByName _)

@@ -53,6 +53,12 @@ class AppSpec extends SparkSuite {
     GraftApp.run(spark, Array("compact", wh))
     GraftApp.run(spark, Array("vacuum", wh, "1"))
     assert(store.readTurns().count() == rowsBefore)
+    // export (S10 debug CSV sink): header + every raw row round-trips
+    val csvDir = Files.createTempDirectory("graft-export-").toString + "/raw_csv"
+    GraftApp.run(spark, Array("export", wh, "raw", csvDir, "csv"))
+    val back = spark.read.option("header", "true").csv(csvDir)
+    assert(back.count() == rowsBefore)
+    assert(back.columns.toSet == store.readTurns().columns.toSet)
   }
 
   test("windowed streaming rollup equals the batch tier for closed windows") {
