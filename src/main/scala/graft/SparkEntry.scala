@@ -467,6 +467,24 @@ object SparkEntry {
         0.95)
     }),
 
+    // --- the IVF scale path for the same planted-duplicate fixture:
+    // exact copies share every centroid similarity → same inverted
+    // list → ivfPairs provably recovers them, so this THIRD variant
+    // also hash-matches the one near-dup oracle ---
+    "q_embed_neardup_ivf" -> ((s, dir) => {
+      val dv = dupedVecs(s, dir)
+      Similarity.cosineNearDup(dv, "vec_id", "embedding",
+        Similarity.ivfPairs(dv, "vec_id", "embedding", nlist = 8, iters = 2),
+        0.95)
+    }),
+
+    // --- IVF-Flat ANN top-k (k-means inverted lists, nprobe probing;
+    // centroid means are data-derived floats: rows-only) ---
+    "q_embed_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3, iters = 2)),
+
     // --- multimodal: REAL header decode (PNG/WAV/MP4 chunk+box walk,
     // CRC-checked) of the binary payload column; the oracle recomputes
     // what the generator encoded into the headers ---
@@ -914,6 +932,7 @@ object SparkEntry {
           |  FROM pairs) WHERE rank <= 5""".stripMargin,
       "q_embed_neardup" -> neardupOracleSql,
       "q_embed_neardup_lsh" -> neardupOracleSql,
+      "q_embed_neardup_ivf" -> neardupOracleSql,
       "q_multimodal_meta" ->
         """SELECT doc_id,
           |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
@@ -1053,5 +1072,6 @@ object SparkEntry {
     * rows-only check and ScalaTest covers their semantics instead.
     */
   val oracleOmissions: Set[String] =
-    Set("q_minhash_lsh", "q_simhash", "q_embed_lsh_topk", "q_ngram_jaccard_lsh")
+    Set("q_minhash_lsh", "q_simhash", "q_embed_lsh_topk", "q_ngram_jaccard_lsh",
+      "q_embed_ivf_topk")
 }

@@ -142,6 +142,129 @@ object Similarity {
         floor(col("cos") * 1000).cast("long").as("cos_millis"))
   }
 
+  // ------------------------------------------------------------------
+  // IVF-Flat: the k-means inverted-file ANN (the second scale path the
+  // build brief names next to LSH). Centroids are trained with a few
+  // Lloyd iterations (deterministic hash-seeded init) and shipped as
+  // LITERALS: assignment is a pure codegen'd expression — `nlist`
+  // folded DotProducts + one array_sort per row, NO join and NO
+  // shuffle. Candidate generation is then an equi-join on the list id
+  // (shuffle ∝ Σ list², like the LSH band join), and recall is tuned
+  // by probing `nprobe` lists per query.
+  // ------------------------------------------------------------------
+
+  /** Similarity-to-centroid structs, sortable by (sim, cid). */
+  private def centroidStructs(vec: Column, cents: Seq[Array[Double]]): Seq[Column] =
+    cents.zipWithIndex.map { case (c, i) =>
+      struct(dot(vec, typedLit(c.toSeq)).as("sim"), lit(i).as("cid"))
+    }
+
+  /** The `nprobe` most-similar centroid ids of `vec`, best first —
+    * codegen'd (sort a nlist-element array per row, slice). Identical
+    * vectors always probe identical lists (same expression, same
+    * input), which is what makes planted-duplicate recovery exact.
+    */
+  def ivfProbeIds(vec: Column, cents: Seq[Array[Double]], nprobe: Int): Column =
+    transform(
+      slice(reverse(array_sort(array(centroidStructs(vec, cents): _*))),
+        1, nprobe),
+      s => s.getField("cid"))
+
+  /** Train `nlist` spherical-ish k-means centroids with `iters` Lloyd
+    * rounds. Init is deterministic (the nlist vectors with smallest
+    * xxhash64(id)); each round is ONE assignment pass (pure
+    * expression) + ONE (cid, dim)-grouped mean — both map-side
+    * combined. At 100 TB train on a sample (`trainFraction`): the
+    * quantizer needs representative geometry, not every row.
+    */
+  def trainIvfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3, trainFraction: Double = 1.0): Seq[Array[Double]] = {
+    val all = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val vecs = (if (trainFraction < 1.0)
+      all.filter(pmod(xxhash64(col("id")), lit(10000)) < (trainFraction * 10000).toInt)
+    else all).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[Array[Double]] = vecs
+        .withColumn("h", xxhash64(col("id")))
+        .orderBy(col("h"), col("id"))
+        .limit(nlist)
+        .select(col("v")).collect()
+        .map(_.getSeq[Double](0).toArray).toSeq
+      require(cents.nonEmpty, "cannot train IVF on an empty table")
+      val dim = cents.head.length
+      for (_ <- 0 until iters) {
+        val assigned = vecs.withColumn("cid",
+          element_at(ivfProbeIds(col("v"), cents, 1), 1))
+        val stats = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone).toArray
+        stats.foreach { r =>
+          val cid = r.getInt(0)
+          val pos = r.getInt(1)
+          next(cid)(pos) = r.getDouble(2) / r.getLong(3)
+        }
+        cents = next.toSeq // empty clusters keep their previous centroid
+        require(cents.forall(_.length == dim))
+      }
+      cents
+    } finally { vecs.unpersist(); () }
+  }
+
+  /** Candidate pairs sharing an inverted list (top-1 assignment) —
+    * the IVF analog of [[lshPairs]]: equi self-join on cid, never n².
+    * Identical vectors share every centroid similarity, so exact
+    * duplicates always land in the same list — planted-copy recovery
+    * is provable, like the LSH path.
+    */
+  def ivfPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 3): DataFrame = {
+    if (dimOf(embeddings, vecCol).isEmpty)
+      return embeddings.limit(0)
+        .select(col(idCol).as("id1"), col(idCol).as("id2"))
+    val cents = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters)
+    val assigned = embeddings
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cid", element_at(ivfProbeIds(col("v"), cents, 1), 1))
+    assigned.select(col("cid"), col("id").as("id1"))
+      .join(assigned.select(col("cid"), col("id").as("id2")), Seq("cid"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** IVF-Flat top-k: queries probe their `nprobe` nearest lists, each
+    * candidate is re-scored exactly, multi-probe duplicates collapse
+    * on (qid, nid). Same output shape as [[cosineTopK]]/[[lshTopK]];
+    * recall < 1 by construction, tuned by nlist/nprobe.
+    */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    if (dimOf(embeddings, vecCol).isEmpty)
+      return embeddings.limit(0).select(col(idCol).as("qid"),
+        lit(0L).as("rank"), col(idCol).as("nid"))
+    val cents = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters)
+    val vecs = embeddings
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+    val lists = vecs
+      .withColumn("cid", element_at(ivfProbeIds(col("v"), cents, 1), 1))
+      .select(col("cid"), col("id").as("nid"), col("v").as("nv"), col("n").as("nn"))
+    val probes = vecs
+      .select(col("id").as("qid"), col("v").as("qv"), col("n").as("qn"),
+        explode(ivfProbeIds(col("v"), cents, nprobe)).as("cid"))
+    val scored = probes.join(lists, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      .groupBy(col("qid"), col("nid")).agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
+  }
+
   /** ANN top-k via bucketed self-join over `rotations` plane families.
     * Same output shape as [[cosineTopK]]; recall < 1 by construction.
     *

@@ -111,6 +111,14 @@ class PlanAuditSpec extends SparkSuite {
       s"near-dup scale path has an all-pairs join:\n$p")
   }
 
+  test("IVF paths: assignment is a pure expression (no join), candidates equi-join on cid") {
+    Seq("q_embed_neardup_ivf", "q_embed_ivf_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to an all-pairs join:\n$p")
+    }
+  }
+
   test("whole-stage codegen spans the rollup aggregate") {
     // AQE shows only the stub pre-execution; run the query so the
     // final plan (with codegen spans) materializes

@@ -79,10 +79,41 @@ class SimilaritySpec extends SparkSuite {
     assert(brute.forall(_._3 >= 950))
   }
 
+  test("IVF ANN: planted copies recovered exactly; top-k recall beats list share") {
+    // planted-copy exactness (the same provable property as LSH):
+    // identical vectors share every centroid similarity → same list
+    val dv = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" % 10 === 0)
+        .select(($"vec_id" + 1000000).as("vec_id"), $"embedding"))
+    val viaIvf = Similarity.cosineNearDup(dv, "vec_id", "embedding",
+      Similarity.ivfPairs(dv, "vec_id", "embedding", nlist = 8, iters = 2), 0.95)
+      .as[(Long, Long, Long)].collect().toSet
+    val planted = emb.filter($"vec_id" % 10 === 0).select($"vec_id")
+      .as[Long].collect().map(id => (id, id + 1000000)).toSet
+    assert(viaIvf.map(r => (r._1, r._2)) == planted,
+      "IVF lists missed a planted exact copy")
+    // recall: nprobe/nlist = 3/8 of the data examined at random would
+    // give ~0.38 recall; the trained quantizer must beat that clearly
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3, iters = 2)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      approx.get(q).map(_.intersect(exact(q)).size / 5.0).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"IVF recall no better than random probing: $mean")
+  }
+
   test("empty embeddings table yields empty results, not an exception") {
     val empty = emb.limit(0)
     assert(Similarity.lshTopK(empty, "vec_id", "embedding", k = 3).isEmpty)
     assert(Similarity.lshPairs(empty, "vec_id", "embedding").isEmpty)
+    assert(Similarity.ivfPairs(empty, "vec_id", "embedding").isEmpty)
+    assert(Similarity.ivfTopK(empty, "vec_id", "embedding", k = 3).isEmpty)
     // schema preserved for downstream unions/joins
     assert(Similarity.lshTopK(empty, "vec_id", "embedding", k = 3)
       .columns.toSeq == Seq("qid", "rank", "nid"))
