@@ -40,19 +40,21 @@ object GraftFunctions {
       "graft_dot(a, b) - left-to-right dot product of two array<double>"),
     ("tier_bucket",
       (children: Seq[Expression]) => {
-        require(children.size == 2, "tier_bucket(ts, '1m'|'1h'|'1d')")
-        val tierName = children(1) match {
+        require(children.size == 2,
+          "tier_bucket(ts, '<n><s|m|h|d|w|mo|y>')")
+        val spec = children(1) match {
           case Literal(s: UTF8String, StringType) => s.toString
           case other => throw new IllegalArgumentException(
-            s"tier_bucket tier must be a string literal, got $other")
+            s"tier_bucket width must be a string literal, got $other")
         }
         val ts = children.head match {
           case e if e.dataType == TimestampType => e
           case e => Cast(e, TimestampType)
         }
-        TierRouting.TierBucket(ts, tierName)
+        TierRouting.TierBucket(ts, spec)
       },
-      "tier_bucket(ts, tier) - floor ts to the '1m'/'1h'/'1d' tier bucket"))
+      "tier_bucket(ts, width) - floor ts to a '<n><s|m|h|d|w|mo|y>' bucket " +
+        "(the tier-routing marker: tier-divisible widths serve from tiers)"))
 
   /** Register into a live session (idempotent). */
   def register(spark: SparkSession): Unit =

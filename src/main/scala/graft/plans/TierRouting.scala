@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType
 import org.apache.spark.sql.{Column, GraftShims, SparkSessionExtensions}
 
 import graft.model.Tier
+import graft.rollup.Rollup
 
 /** Continuous-aggregate query routing (SURVEY.md §4 item 3, the
   * optimizer-stretch goal): a logical [[Rule]] that rewrites
@@ -65,28 +66,71 @@ import graft.model.Tier
   */
 object TierRouting {
 
-  /** Marker + arithmetic: floor `ts` to the tier bucket. */
-  case class TierBucket(child: Expression, tierName: String)
+  /** Months per bucket when `spec` is a calendar width, None for
+    * fixed widths. Mirrors Rollup's grammar split.
+    */
+  private val calRe = "^([0-9]+)(mo|y)$".r
+  def calendarMonths(spec: String): Option[Int] = spec match {
+    case calRe(n, u) => Some(n.toInt * (if (u == "y") 12 else 1))
+    case _ => None
+  }
+
+  /** Calendar floor in epoch micros (UTC) — the eval/codegen kernel
+    * of calendar-width [[TierBucket]]s (also called from generated
+    * code via the static forwarder). Same months-since-epoch math as
+    * `Rollup.bucketWidth`'s calendar branch.
+    */
+  def floorCalendarUs(us: Long, months: Int): Long = {
+    val d = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), 0, java.time.ZoneOffset.UTC)
+    val mos = (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+    val floored = mos - Math.floorMod(mos, months)
+    java.time.LocalDateTime.of(
+      1970 + Math.floorDiv(floored, 12), Math.floorMod(floored, 12) + 1,
+      1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+  }
+
+  /** Marker + arithmetic: floor `ts` to a bucket of width `spec` —
+    * any of the engine's width grammar (`1m`/`1h`/`1d` tier names,
+    * arbitrary `<n><s|m|h|d|w>`, calendar `<n><mo|y>`). Fixed widths
+    * stay pure inline Long math; calendar widths call the UTC
+    * months-floor kernel (still codegen'd — one static call).
+    */
+  case class TierBucket(child: Expression, spec: String)
       extends UnaryExpression {
-    private val widthUs: Long = Tier(tierName).millis * 1000L
+    private val months: Option[Int] = calendarMonths(spec)
+    // validates the spec at construction for fixed widths
+    private val widthUs: Long =
+      if (months.isDefined) 0L else Rollup.parseWidthUs(spec)
     override def dataType: DataType = TimestampType
     override def nullSafeEval(v: Any): Any = {
       val us = v.asInstanceOf[Long] // TimestampType is epoch micros
-      java.lang.Long.valueOf(us - java.lang.Math.floorMod(us, widthUs))
+      java.lang.Long.valueOf(months match {
+        case Some(m) => floorCalendarUs(us, m)
+        case None => us - java.lang.Math.floorMod(us, widthUs)
+      })
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = $c - java.lang.Math.floorMod($c, ${widthUs}L);")
-    override def sql: String = s"tier_bucket(${child.sql}, '$tierName')"
+      nullSafeCodeGen(ctx, ev, c => months match {
+        case Some(m) =>
+          s"${ev.value} = graft.plans.TierRouting.floorCalendarUs($c, $m);"
+        case None =>
+          s"${ev.value} = $c - java.lang.Math.floorMod($c, ${widthUs}L);"
+      })
+    override def sql: String = s"tier_bucket(${child.sql}, '$spec')"
     override protected def withNewChildInternal(c: Expression): TierBucket =
       copy(child = c)
   }
 
-  def tierBucket(ts: Column, tier: Tier): Column =
+  def tierBucket(ts: Column, tier: Tier): Column = tierBucket(ts, tier.name)
+
+  /** Width-spec overload: `tierBucket($"ts", "1mo")`, `"2h"`, ... */
+  def tierBucket(ts: Column, spec: String): Column =
     GraftShims.column(TierBucket(GraftShims.expression(ts).transformUp {
       // accept NTZ columns like Rollup.bucket's cast does
       case e if e.dataType != TimestampType => Cast(e, TimestampType)
-    }, tier.name))
+    }, spec))
 
   /** raw-table path prefix → warehouse root with tier_1m/1h/1d dirs.
     * (A real deployment keys this in the catalog; a TrieMap is the
@@ -156,10 +200,11 @@ object TierRouting {
       case other => Seq(other)
     }
 
-    private def alignedTs(e: Expression, widthUs: Long): Boolean = e match {
-      case Literal(us: java.lang.Long, TimestampType) => us % widthUs == 0
-      case _ => false
-    }
+    private def alignedTs(e: Expression, aligned: Long => Boolean): Boolean =
+      e match {
+        case Literal(us: java.lang.Long, TimestampType) => aligned(us)
+        case _ => false
+      }
 
     /** Attribute `a` IS the raw scan's column of the same name —
       * resolved by exprId, not name. Projects between the Aggregate
@@ -189,7 +234,7 @@ object TierRouting {
       *    ts < L does (floor bucketing + alignment). `<=`/`>` and
       *    unaligned literals are NOT translatable this way — bail.
       */
-    private def translateConjunct(e: Expression, widthUs: Long,
+    private def translateConjunct(e: Expression, aligned: Long => Boolean,
         out: Map[String, Attribute], raw: Map[String, ExprId]): Option[Expression] = e match {
       case c if c.references.nonEmpty &&
           c.references.forall(a => a.name == "conv_id" && isRawAttr(a, raw)) =>
@@ -199,13 +244,13 @@ object TierRouting {
       // nullness, so isnotnull(ts) ⟺ isnotnull(bucket_ts)
       case IsNotNull(e) if isTsAttr(e, raw) =>
         Some(IsNotNull(out("bucket_ts")))
-      case GreaterThanOrEqual(l, r) if isTsAttr(l, raw) && alignedTs(r, widthUs) =>
+      case GreaterThanOrEqual(l, r) if isTsAttr(l, raw) && alignedTs(r, aligned) =>
         Some(GreaterThanOrEqual(out("bucket_ts"), r))
-      case LessThanOrEqual(l, r) if alignedTs(l, widthUs) && isTsAttr(r, raw) =>
+      case LessThanOrEqual(l, r) if alignedTs(l, aligned) && isTsAttr(r, raw) =>
         Some(GreaterThanOrEqual(out("bucket_ts"), l)) // L <= ts
-      case LessThan(l, r) if isTsAttr(l, raw) && alignedTs(r, widthUs) =>
+      case LessThan(l, r) if isTsAttr(l, raw) && alignedTs(r, aligned) =>
         Some(LessThan(out("bucket_ts"), r))
-      case GreaterThan(l, r) if alignedTs(l, widthUs) && isTsAttr(r, raw) =>
+      case GreaterThan(l, r) if alignedTs(l, aligned) && isTsAttr(r, raw) =>
         Some(LessThan(out("bucket_ts"), l)) // L > ts
       case _ => None
     }
@@ -233,17 +278,23 @@ object TierRouting {
         case _ => None
       }
 
-    /** Choose the tier that serves a request for `requested` width:
-      * the coarsest fresh tier whose width divides the requested
-      * width (exact tier first, else fold-from-finer). Freshness =
-      * published watermark ≥ the raw table's CURRENT snapshot, and
-      * the serve dir actually readable.
+    /** Choose the tier that serves a request of the given width: the
+      * coarsest fresh tier whose width DIVIDES the request — exact
+      * tier first, else fold-from-finer; calendar widths (months /
+      * years) are served by ANY tier because every tier divides a UTC
+      * day and months start on day boundaries (no DST in UTC).
+      * Freshness = published watermark ≥ the raw table's CURRENT
+      * snapshot, and the serve dir actually readable.
       */
-    private def pickServingTier(wh: String, requested: Tier): Option[(LogicalPlan, Tier)] = {
+    private def pickServingTier(wh: String, months: Option[Int],
+        fixedUs: Long): Option[(LogicalPlan, Tier)] = {
       val needSid = rawCurrentSid(wh)
       if (needSid <= 0L) None
       else Tier.cascade
-        .filter(t => t.millis <= requested.millis && requested.millis % t.millis == 0)
+        .filter { t =>
+          val tUs = t.millis * 1000L
+          months.isDefined || (fixedUs >= tUs && fixedUs % tUs == 0)
+        }
         .sortBy(-_.millis) // coarsest usable first
         .view
         .flatMap { t =>
@@ -348,24 +399,32 @@ object TierRouting {
               tbAttrIds.contains(a.exprId) || convGrouping.exists(_.exprId == a.exprId)
             case e => resolveTierBucket(e, child).isDefined
           }
-          (tierPlan, served) <- pickServingTier(wh, Tier(tb.tierName))
+          months = calendarMonths(tb.spec)
+          fixedUs = months.fold(Rollup.parseWidthUs(tb.spec))(_ => 0L)
+          (tierPlan, served) <- pickServingTier(wh, months, fixedUs)
           out = tierPlan.output.map(a => a.name -> a).toMap
           if out.contains("conv_id") && out.contains("bucket_ts")
           // every Filter conjunct must translate onto the tier scan
           // (conv_id predicates and bucket-aligned ts ranges) or the
           // whole rewrite bails to the raw plan
-          widthUs = Tier(tb.tierName).millis * 1000L
+          aligned = (us: Long) => months match {
+            case Some(m) => floorCalendarUs(us, m) == us
+            case None => us % fixedUs == 0
+          }
           translated <- {
-            val t = keyConds.map(c => translateConjunct(c, widthUs, out, raw))
+            val t = keyConds.map(c => translateConjunct(c, aligned, out, raw))
             if (t.forall(_.isDefined)) Some(t.flatten) else None
           }
           filtered = translated.foldLeft(tierPlan) { (p, cond) =>
             org.apache.spark.sql.catalyst.plans.logical.Filter(cond, p)
           }
           // exact tier: its bucket_ts IS the requested bucket; finer
-          // tier: re-floor its bucket_ts to the requested width
-          bucketExpr = if (served.name == tb.tierName) out("bucket_ts")
-            else TierBucket(out("bucket_ts"), tb.tierName)
+          // tier (incl. every calendar request): re-floor its
+          // bucket_ts to the requested width — exact because the
+          // served width divides the request
+          bucketExpr = if (months.isEmpty && fixedUs == served.millis * 1000L)
+            out("bucket_ts")
+            else TierBucket(out("bucket_ts"), tb.spec)
           mapped <- mapAll(aggExprs, tbAttrIds, out, bucketExpr, raw,
             convGrouping.isDefined)
         } yield Aggregate(

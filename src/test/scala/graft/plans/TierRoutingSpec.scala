@@ -342,6 +342,44 @@ class TierRoutingSpec extends SparkSuite {
     assert(scannedPaths(qOwn).exists(_.contains("serve/tier_1h")))
   }
 
+  test("calendar and arbitrary widths route: 1mo/1y/2h fold tiers, 90s bails") {
+    val turns = TranscriptGen.generate(spark, 8, 25, seed = 89L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    def q(spec: String) = spark.read.parquet(rawDir)
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", spec).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"),
+        sum(length($"text").cast("long")).as("text_len_sum"))
+    def expected(spec: String) = turns
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", spec).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"),
+        sum(length($"text").cast("long")).as("text_len_sum"))
+      .as[(String, java.sql.Timestamp, Long, Long)].collect().toSet
+    // monthly report: serves from the 1d tier, never raw
+    assert(scannedPaths(q("1mo")).exists(_.contains("serve/tier_1d")),
+      q("1mo").queryExecution.optimizedPlan.toString)
+    assert(q("1mo").as[(String, java.sql.Timestamp, Long, Long)]
+      .collect().toSet == expected("1mo"))
+    // yearly: also from 1d
+    assert(scannedPaths(q("1y")).exists(_.contains("serve/tier_1d")))
+    assert(q("1y").as[(String, java.sql.Timestamp, Long, Long)]
+      .collect().toSet == expected("1y"))
+    // 2h: folds the 1h tier
+    assert(scannedPaths(q("2h")).exists(_.contains("serve/tier_1h")))
+    assert(q("2h").as[(String, java.sql.Timestamp, Long, Long)]
+      .collect().toSet == expected("2h"))
+    // 90s: no tier divides it → must bail to raw (values still right)
+    assert(!scannedPaths(q("90s")).exists(_.contains("serve/tier")),
+      "90s has no serving tier and must not route")
+    assert(q("90s").as[(String, java.sql.Timestamp, Long, Long)]
+      .collect().toSet == expected("90s"))
+    // the calendar marker itself equals Rollup's calendar bucketing
+    val mism = turns.select(
+      TierRouting.tierBucket($"ts", "1mo").as("a"),
+      graft.rollup.Rollup.bucketWidth($"ts", "1mo").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(mism == 0, "tier_bucket('1mo') diverges from Rollup.bucketWidth")
+  }
+
   test("an aggregate FILTER clause blocks routing (partials cannot re-filter)") {
     val turns = TranscriptGen.generate(spark, 6, 15, seed = 86L).toDF()
     val (rawDir, _, _) = mkStore(turns, publish = true)
