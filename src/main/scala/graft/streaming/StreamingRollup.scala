@@ -45,6 +45,19 @@ object StreamingRollup {
     q.awaitTermination()
   }
 
+  /** Streaming exact dedup on the transcript key: state-backed
+    * `dropDuplicatesWithinWatermark` on (conv_id, turn_idx) — the
+    * streaming face of `ingest(dedupe=true)`'s exactly-once promise
+    * for at-least-once sources that replay WITHIN the watermark
+    * horizon (state is bounded by it; replays older than the horizon
+    * are the batch path's anti-join's job). Feed this in front of
+    * [[writer]] or [[windowedRollup]].
+    */
+  def dedupedTurns(stream: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+
   /** The native Structured-Streaming rollup: event-time watermark +
     * tumbling window over the SAME algebraic metric set as the batch
     * tiers (`Rollup.rawAggs` shape), state bounded by the watermark.
@@ -58,12 +71,21 @@ object StreamingRollup {
     * state. Output mode append: a window emits once, when the
     * watermark passes its end.
     */
+  /** Add an event-time watermark on `ts` unless the plan already has
+    * one (Spark disallows redefinition — composing [[dedupedTurns]]
+    * in front of [[windowedRollup]] must not set it twice).
+    */
+  private def ensureWatermark(df: DataFrame, lateness: String): DataFrame =
+    if (df.queryExecution.analyzed.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+    }.isDefined) df
+    else df.withWatermark("ts", lateness)
+
   def windowedRollup(stream: DataFrame, tier: graft.model.Tier,
       lateness: String = "10 minutes"): DataFrame = {
     import org.apache.spark.sql.functions._
     val winSpec = tier.millis / 1000L + " seconds"
-    stream
-      .withWatermark("ts", lateness)
+    ensureWatermark(stream, lateness)
       .groupBy(col("conv_id"), window(col("ts"), winSpec).as("w"))
       .agg(
         count(lit(1)).as("turn_cnt"),

@@ -61,6 +61,33 @@ class AppSpec extends SparkSuite {
     assert(back.columns.toSet == store.readTurns().columns.toSet)
   }
 
+  test("streaming dedup drops in-stream duplicates before the windowed rollup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val turns = TranscriptGen.generate(spark, 5, 12, seed = 58L).collect().toSeq
+    val ms = MemoryStream[graft.model.Turn]
+    val out = StreamingRollup.windowedRollup(
+      StreamingRollup.dedupedTurns(ms.toDF()), Tier.Minute)
+    val q = out.writeStream.format("memory").queryName("dedup_rollup")
+      .outputMode("append").start()
+    // the same batch delivered TWICE (at-least-once replay inside the
+    // watermark horizon) must count once
+    ms.addData(turns ++ turns)
+    q.processAllAvailable()
+    val maxTs = turns.map(_.ts.getTime).max
+    ms.addData(Seq(graft.model.Turn("zz-flush", 0, "user", "x", None,
+      new java.sql.Timestamp(maxTs + 86400000L))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_rollup")
+      .filter($"conv_id" =!= "zz-flush")
+      .as[graft.model.TierRow].collect().toSet
+    val want = Rollup.rollupRaw(turns.toDF(), Tier.Minute)
+      .as[graft.model.TierRow].collect().toSet
+    assert(got == want, "replayed rows double-counted through the stream")
+    assert(got.nonEmpty)
+  }
+
   test("windowed streaming rollup equals the batch tier for closed windows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -380,6 +380,25 @@ class TierRoutingSpec extends SparkSuite {
     assert(mism == 0, "tier_bucket('1mo') diverges from Rollup.bucketWidth")
   }
 
+  test("HAVING / sort above the aggregate still routes (exprIds preserved)") {
+    val turns = TranscriptGen.generate(spark, 8, 20, seed = 90L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    def q = spark.read.parquet(rawDir)
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+      .filter($"turn_cnt" >= 3) // HAVING: applies to the routed output
+      .orderBy($"conv_id", $"bucket_ts")
+    assert(scannedPaths(q).exists(_.contains("serve/tier_1h")),
+      q.queryExecution.optimizedPlan.toString)
+    val expected = turns
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(count(lit(1)).as("turn_cnt"))
+      .filter($"turn_cnt" >= 3)
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    assert(q.as[(String, java.sql.Timestamp, Long)].collect().toSet == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("an aggregate FILTER clause blocks routing (partials cannot re-filter)") {
     val turns = TranscriptGen.generate(spark, 6, 15, seed = 86L).toDF()
     val (rawDir, _, _) = mkStore(turns, publish = true)
