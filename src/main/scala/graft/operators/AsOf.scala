@@ -52,14 +52,15 @@ object AsOf {
       rightTs: String = "ts",
       toleranceUs: Long = Long.MaxValue,
       direction: Direction = Direction.Backward): DataFrame = {
-    val rightVals = right.columns.filterNot(c => keyCols.contains(c) || c == rightTs)
+    val rightVals =
+      right.columns.toSeq.filterNot(c => keyCols.contains(c) || c == rightTs)
     val payload = struct(
       (col(rightTs).cast("timestamp").as("_rts") +: rightVals.map(col)): _*)
     // right sorts BEFORE left at equal ts (side 0 < 1) in BOTH scan
     // directions: INCLUSIVE — a right row at exactly left.ts is
     // visible to it
     val l2 = left.select(
-      (left.columns.map(col) :+ col(leftTs).cast("timestamp").as("_ts")
+      (left.columns.toSeq.map(col) :+ col(leftTs).cast("timestamp").as("_ts")
         :+ lit(1).as("_side")): _*)
     val r2 = right.select(
       (keyCols.map(col) :+ col(rightTs).cast("timestamp").as("_ts")
@@ -85,7 +86,7 @@ object AsOf {
     }
     val ok: Column = col("_m").isNotNull && (gapUs <= toleranceUs)
     matched.select(
-      (left.columns.map(col) ++
+      (left.columns.toSeq.map(col) ++
         rightVals.map(v => when(ok, col(s"_m.$v")).as(v)) :+
         when(ok, col("_m._rts")).as("matched_ts")): _*)
   }

@@ -84,7 +84,7 @@ object StreamingRollup {
   def windowedRollup(stream: DataFrame, tier: graft.model.Tier,
       lateness: String = "10 minutes"): DataFrame = {
     import org.apache.spark.sql.functions._
-    val winSpec = tier.millis / 1000L + " seconds"
+    val winSpec = s"${tier.millis / 1000L} seconds"
     ensureWatermark(stream, lateness)
       .groupBy(col("conv_id"), window(col("ts"), winSpec).as("w"))
       .agg(

@@ -95,7 +95,7 @@ final class ChronoTable private (
           Option(f.get("minTsUs")).map(_.asLong),
           Option(f.get("maxTsUs")).map(_.asLong))
       }.toSeq
-      val summary = n.get("summary").fields().asScala
+      val summary = n.get("summary").properties().asScala
         .map(e => e.getKey -> e.getValue.asText).toMap
       Some(Snapshot(n.get("id").asLong, n.get("parentId").asLong,
         n.get("op").asText, files, summary))

@@ -108,6 +108,24 @@ class SimilaritySpec extends SparkSuite {
     assert(mean >= 0.5, s"IVF recall no better than random probing: $mean")
   }
 
+  test("IVF centroids trained on a sample still recover planted copies") {
+    // the 100-TB path: the quantizer sees a fraction of the data;
+    // list assignment still runs over ALL rows, so exact copies stay
+    // co-listed regardless of which rows trained the centroids
+    val dv = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" % 10 === 0)
+        .select(($"vec_id" + 1000000).as("vec_id"), $"embedding"))
+    val cents = Similarity.trainIvfCentroids(dv, "vec_id", "embedding",
+      nlist = 8, iters = 2, trainFraction = 0.2)
+    assert(cents.size == 8 && cents.forall(_.nonEmpty))
+    val viaIvf = Similarity.cosineNearDup(dv, "vec_id", "embedding",
+      Similarity.ivfPairs(dv, "vec_id", "embedding", nlist = 8, iters = 2), 0.95)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val planted = emb.filter($"vec_id" % 10 === 0).select($"vec_id")
+      .as[Long].collect().map(id => (id, id + 1000000)).toSet
+    assert(viaIvf == planted)
+  }
+
   test("empty embeddings table yields empty results, not an exception") {
     val empty = emb.limit(0)
     assert(Similarity.lshTopK(empty, "vec_id", "embedding", k = 3).isEmpty)
