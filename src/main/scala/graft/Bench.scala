@@ -85,12 +85,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // the round-2 query set, frozen: round-over-round comparisons read
-    // common_total so newly added queries stop confounding the trend
+    // common_total so newly added queries stop confounding the trend.
+    // common_errored flags broken common queries — their omitted wall
+    // time must not read as a speedup.
     val commonTotal = results.collect {
       case (k, v) if r2Queries.contains(k) && v >= 0 => v }.sum
+    val commonErrored = results.count {
+      case (k, v) => r2Queries.contains(k) && v < 0 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"error_count":${errors.size},""" +
       s""""common_total":$commonTotal,"common_n":${r2Queries.size},""" +
+      s""""common_errored":$commonErrored,""" +
       s""""rollup_throughput_turns_per_sec":$throughput,"sf":"$sfDir"}""")
     spark.stop()
   }

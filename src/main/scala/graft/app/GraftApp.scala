@@ -107,7 +107,9 @@ object GraftApp {
           case "parquet" => writer.parquet(outDir)
           case f => sys.error(s"unknown export format $f")
         }
-        println(s"""{"op":"export","table":"$table","format":"$format","rows":${df.count()}}""")
+        // no row count in the receipt: it would re-scan the whole
+        // source table a second time just to print a number
+        println(s"""{"op":"export","table":"$table","format":"$format","dir":"$outDir"}""")
       case "status" =>
         val tiers = Tier.cascade.map(t =>
           s""""${t.name}":${store.readTier(t).count()}""").mkString(",")

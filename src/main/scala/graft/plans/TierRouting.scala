@@ -67,29 +67,34 @@ import graft.rollup.Rollup
 object TierRouting {
 
   /** Months per bucket when `spec` is a calendar width, None for
-    * fixed widths. Mirrors Rollup's grammar split.
+    * fixed widths. Delegates to Rollup — ONE grammar authority.
     */
-  private val calRe = "^([0-9]+)(mo|y)$".r
-  def calendarMonths(spec: String): Option[Int] = spec match {
-    case calRe(n, u) => Some(n.toInt * (if (u == "y") 12 else 1))
-    case _ => None
-  }
+  def calendarMonths(spec: String): Option[Int] = Rollup.calendarMonths(spec)
 
-  /** Calendar floor in epoch micros (UTC) — the eval/codegen kernel
-    * of calendar-width [[TierBucket]]s (also called from generated
-    * code via the static forwarder). Same months-since-epoch math as
-    * `Rollup.bucketWidth`'s calendar branch.
+  /** Calendar floor in epoch micros, in the given zone — the
+    * eval/codegen kernel of calendar-width [[TierBucket]]s (also
+    * called from generated code via the static forwarder). Same
+    * months-since-epoch math as `Rollup.bucketWidth`'s calendar
+    * branch, which is session-timezone-based (`year()`/`month()`), so
+    * the marker captures the session zone at construction.
     */
-  def floorCalendarUs(us: Long, months: Int): Long = {
-    val d = java.time.LocalDateTime.ofEpochSecond(
-      Math.floorDiv(us, 1000000L), 0, java.time.ZoneOffset.UTC)
+  def floorCalendarUs(us: Long, months: Int, zoneId: String): Long = {
+    val zone = java.time.ZoneId.of(zoneId)
+    val d = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L)).atZone(zone)
     val mos = (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
     val floored = mos - Math.floorMod(mos, months)
-    java.time.LocalDateTime.of(
-      1970 + Math.floorDiv(floored, 12), Math.floorMod(floored, 12) + 1,
-      1, 0, 0)
-      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    java.time.LocalDate.of(
+      1970 + Math.floorDiv(floored, 12), Math.floorMod(floored, 12) + 1, 1)
+      .atStartOfDay(zone).toEpochSecond * 1000000L
   }
+
+  /** Is the zone UTC-equivalent? Calendar routing is sound only then:
+    * the fixed-width 1d tier buckets are UTC days, and month starts
+    * align with UTC day starts only in a UTC-offset-zero zone.
+    */
+  private[plans] def isUtcZone(zoneId: String): Boolean =
+    java.time.ZoneId.of(zoneId).normalized() == java.time.ZoneOffset.UTC
 
   /** Marker + arithmetic: floor `ts` to a bucket of width `spec` —
     * any of the engine's width grammar (`1m`/`1h`/`1d` tier names,
@@ -97,24 +102,32 @@ object TierRouting {
     * stay pure inline Long math; calendar widths call the UTC
     * months-floor kernel (still codegen'd — one static call).
     */
-  case class TierBucket(child: Expression, spec: String)
+  case class TierBucket(child: Expression, spec: String,
+      /** Session timezone captured at construction — calendar widths
+        * floor in THIS zone, matching Rollup.bucketWidth's
+        * year()/month() semantics under the same session.
+        */
+      timeZoneId: String =
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
       extends UnaryExpression {
     private val months: Option[Int] = calendarMonths(spec)
-    // validates the spec at construction for fixed widths
+    // validates the spec at construction for fixed widths (calendar
+    // specs are validated inside calendarMonths: zero-width throws)
     private val widthUs: Long =
       if (months.isDefined) 0L else Rollup.parseWidthUs(spec)
     override def dataType: DataType = TimestampType
     override def nullSafeEval(v: Any): Any = {
       val us = v.asInstanceOf[Long] // TimestampType is epoch micros
       java.lang.Long.valueOf(months match {
-        case Some(m) => floorCalendarUs(us, m)
+        case Some(m) => floorCalendarUs(us, m, timeZoneId)
         case None => us - java.lang.Math.floorMod(us, widthUs)
       })
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c => months match {
         case Some(m) =>
-          s"${ev.value} = graft.plans.TierRouting.floorCalendarUs($c, $m);"
+          val tz = ctx.addReferenceObj("tierBucketTz", timeZoneId, "java.lang.String")
+          s"${ev.value} = graft.plans.TierRouting.floorCalendarUs($c, $m, $tz);"
         case None =>
           s"${ev.value} = $c - java.lang.Math.floorMod($c, ${widthUs}L);"
       })
@@ -393,7 +406,14 @@ object TierRouting {
           }.toSet
           convGrouping = groupings.collectFirst {
             case a: Attribute if a.name == "conv_id" && isRawAttr(a, raw) => a }
-          // every grouping key must be the bucket or the raw conv_id
+          // every grouping key must be the bucket or the raw conv_id,
+          // and exactly ONE grouping may be a TierBucket: two buckets
+          // of different widths would be collapsed to one key and
+          // both rewritten to the first width — silently wrong
+          if groupings.count {
+            case a: Attribute => tbAttrIds.contains(a.exprId)
+            case e => resolveTierBucket(e, child).isDefined
+          } == 1
           if groupings.forall {
             case a: Attribute =>
               tbAttrIds.contains(a.exprId) || convGrouping.exists(_.exprId == a.exprId)
@@ -401,6 +421,10 @@ object TierRouting {
           }
           months = calendarMonths(tb.spec)
           fixedUs = months.fold(Rollup.parseWidthUs(tb.spec))(_ => 0L)
+          // calendar routing is sound only in a UTC session: the 1d
+          // tier's buckets are fixed UTC days, and month starts align
+          // with them only at UTC offset zero (DST zones shift)
+          if months.isEmpty || isUtcZone(tb.timeZoneId)
           (tierPlan, served) <- pickServingTier(wh, months, fixedUs)
           out = tierPlan.output.map(a => a.name -> a).toMap
           if out.contains("conv_id") && out.contains("bucket_ts")
@@ -408,7 +432,7 @@ object TierRouting {
           // (conv_id predicates and bucket-aligned ts ranges) or the
           // whole rewrite bails to the raw plan
           aligned = (us: Long) => months match {
-            case Some(m) => floorCalendarUs(us, m) == us
+            case Some(m) => floorCalendarUs(us, m, tb.timeZoneId) == us
             case None => us % fixedUs == 0
           }
           translated <- {
@@ -424,7 +448,7 @@ object TierRouting {
           // served width divides the request
           bucketExpr = if (months.isEmpty && fixedUs == served.millis * 1000L)
             out("bucket_ts")
-            else TierBucket(out("bucket_ts"), tb.spec)
+            else TierBucket(out("bucket_ts"), tb.spec, tb.timeZoneId)
           mapped <- mapAll(aggExprs, tbAttrIds, out, bucketExpr, raw,
             convGrouping.isDefined)
         } yield Aggregate(

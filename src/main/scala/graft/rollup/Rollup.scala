@@ -89,6 +89,19 @@ object Rollup {
   private val widthRe = "^([0-9]+)(s|m|h|d|w)$".r
   private val calRe = "^([0-9]+)(mo|y)$".r
 
+  /** Months per bucket when `spec` is a calendar width, None for
+    * fixed widths — THE grammar authority (TierRouting delegates
+    * here; a second copy of the regex would drift). Zero-width specs
+    * are rejected like the fixed-width path.
+    */
+  def calendarMonths(spec: String): Option[Int] = spec match {
+    case calRe(n, u) =>
+      val months = n.toInt * (if (u == "y") 12 else 1)
+      require(months > 0, s"zero-width bucket: $spec")
+      Some(months)
+    case _ => None
+  }
+
   /** Parse a FIXED width spec ("30s", "5m", "2h", "1d", "1w") to
     * micros. Calendar widths (month/year) are not fixed-length and
     * take the calendar branch of [[bucketWidth]] instead — rejected
@@ -107,8 +120,12 @@ object Rollup {
       val v = n.toLong * unit
       require(v > 0, s"zero-width bucket: $spec")
       v
+    case other if calendarMonths(other).isDefined =>
+      throw new IllegalArgumentException(
+        s"calendar width '$other' is not fixed-length — " +
+          "use bucketWidth's calendar branch, not parseWidthUs")
     case other => throw new IllegalArgumentException(
-      s"bad bucket width '$other' (expected <n><s|m|h|d|w|mo|y>)")
+      s"bad bucket width '$other' (expected <n><s|m|h|d|w>)")
   }
 
   /** Floor (default) or round-half-up `ts` to an arbitrary bucket.
@@ -127,12 +144,10 @@ object Rollup {
     * months.
     */
   def bucketWidth(tsCol: Column, spec: String, nearest: Boolean = false): Column =
-    spec match {
-      case calRe(n, u) =>
+    calendarMonths(spec) match {
+      case Some(perBucket) =>
         require(!nearest,
           s"round-to-nearest is undefined for calendar width '$spec'")
-        val perBucket = n.toInt * (if (u == "y") 12 else 1)
-        require(perBucket > 0, s"zero-width bucket: $spec")
         val ts = tsCol.cast("timestamp")
         // months since epoch, floored to the bucket; pmod keeps floor
         // semantics pre-1970. Integer division via floor(x/12) on the

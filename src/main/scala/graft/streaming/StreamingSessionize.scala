@@ -19,11 +19,12 @@ import graft.model.Turn
   * conversation, so a drained stream's closed sessions equal the
   * batch query's rows (asserted in StreamingSessionizeSpec).
   *
-  * Scale notes: state per KEY is one open session (constant size —
-  * not the turn history); turns within a micro-batch are sorted per
-  * conversation (bounded by per-conv batch volume, never the full
-  * stream); the watermark bounds total state because timed-out keys
-  * are removed.
+  * Scale notes: state per KEY is one compact session record (constant
+  * size — not the turn history); turns within a micro-batch are
+  * sorted per conversation (bounded by per-conv batch volume, never
+  * the full stream). State persists after closure so session ids
+  * survive idle gaps — total state is O(#conversations), the same
+  * order as any per-conversation batch aggregate.
   */
 object StreamingSessionize {
 
@@ -36,13 +37,22 @@ object StreamingSessionize {
       session_end: java.sql.Timestamp)
 
   /** Per-conversation state: the next session id to assign and the
-    * currently open session (compact — O(1) per key).
+    * currently open session (compact — O(1) per key). `lastUs` is the
+    * timestamp of the most recent turn in TURN-INDEX order — the
+    * batch plan's gap rule diffs consecutive-by-turn_idx timestamps,
+    * NOT the running max, so out-of-order timestamps within a
+    * conversation split exactly like batch. State persists after a
+    * session closes (open = false) so `nextSessionId` survives idle
+    * timeouts and resumed conversations keep batch-equal session ids;
+    * total state is therefore O(#conversations), the same order as
+    * any per-conversation batch aggregate.
     */
   final case class ConvState(
       nextSessionId: Long,
       sessionId: Long,
       startUs: Long,
       endUs: Long,
+      lastUs: Long,
       turnCnt: Long,
       open: Boolean)
 
@@ -66,31 +76,45 @@ object StreamingSessionize {
       conv: String, turns: Iterator[Turn], state: GroupState[ConvState])
       : Iterator[SessionRow] = {
     if (state.hasTimedOut) {
-      // watermark passed session_end + gap: close and clear
+      // watermark passed session_end + gap: emit the closure but KEEP
+      // the state (open = false, no further timeout) — dropping it
+      // would reset nextSessionId, and a resumed conversation would
+      // re-issue session_id 0, breaking batch parity and keyed sinks.
+      // A post-timeout turn necessarily has ts > watermark > end+gap,
+      // so batch would also have split there: parity is preserved.
       val out = state.getOption.filter(_.open).map(closedRow(conv, _))
-      state.remove()
+      state.getOption.foreach(st => state.update(st.copy(open = false)))
       out.iterator
     } else {
       // event order within the batch: by turn_idx, the conversation's
-      // stable order contract (W5)
+      // stable order contract (W5). Cross-batch, delivery must be
+      // turn_idx-monotone per conversation (which event-time
+      // watermarking of an ordered producer gives).
       val sorted = turns.toSeq.sortBy(_.turn_idx)
       var st = state.getOption.getOrElse(
-        ConvState(nextSessionId = 0L, sessionId = -1L, 0L, 0L, 0L, open = false))
+        ConvState(nextSessionId = 0L, sessionId = -1L, 0L, 0L, 0L, 0L, open = false))
       val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
       sorted.foreach { t =>
         val us = tsUs(t.ts)
         if (!st.open) {
-          st = ConvState(st.nextSessionId + 1, st.nextSessionId, us, us, 1L, open = true)
-        } else if (us - st.endUs > gapUs) {
+          st = ConvState(st.nextSessionId + 1, st.nextSessionId,
+            us, us, us, 1L, open = true)
+        } else if (us - st.lastUs > gapUs) {
+          // the BATCH gap rule: diff against the PREVIOUS turn in
+          // turn_idx order (lag), not the running max timestamp
           closed += closedRow(conv, st)
-          st = ConvState(st.nextSessionId + 1, st.nextSessionId, us, us, 1L, open = true)
+          st = ConvState(st.nextSessionId + 1, st.nextSessionId,
+            us, us, us, 1L, open = true)
         } else {
-          st = st.copy(endUs = math.max(st.endUs, us), turnCnt = st.turnCnt + 1)
+          st = st.copy(startUs = math.min(st.startUs, us),
+            endUs = math.max(st.endUs, us), lastUs = us,
+            turnCnt = st.turnCnt + 1)
         }
       }
       state.update(st)
       // close the open session once the watermark passes end + gap
-      state.setTimeoutTimestamp(st.endUs / 1000L + gapUs / 1000L)
+      if (st.open)
+        state.setTimeoutTimestamp(st.endUs / 1000L + gapUs / 1000L)
       closed.iterator
     }
   }

@@ -173,7 +173,12 @@ final class ChronoTable private (
     // name in every partition dir a task writes, so bare names collide
     // within a batch and one file would silently inherit another's
     // bounds — and stats-pruned reads could then drop in-range rows.
-    val targetAbs = target.toAbsolutePath.toString
+    // resolve symlinks ONCE so the relativize below cannot miss when
+    // the warehouse sits behind a symlinked root (e.g. /tmp →
+    // /private/tmp) — a silent key miss would record no bounds and
+    // quietly disable stats pruning for the whole batch
+    val realTarget = scala.util.Try(target.toRealPath()).getOrElse(
+      target.toAbsolutePath)
     val stats: Map[String, (Long, Long)] = statsTsCol match {
       case Some(c) if parquetFiles.nonEmpty =>
         spark.read.option("basePath", dataRoot).parquet(target.toString)
@@ -185,9 +190,12 @@ final class ChronoTable private (
             // input_file_name is a URI (file:/...; %-escaped) — decode
             // to a filesystem path before relativizing against target
             val raw = r.getString(0)
-            val fsPath = scala.util.Try(
-              Paths.get(new java.net.URI(raw)).toString).getOrElse(raw)
-            val rel = fsPath.stripPrefix(targetAbs).stripPrefix("/")
+            val fsPath = scala.util.Try(Paths.get(new java.net.URI(raw)))
+              .getOrElse(Paths.get(raw))
+            val realFs = scala.util.Try(fsPath.toRealPath()).getOrElse(fsPath)
+            val rel = scala.util.Try(realTarget.relativize(realFs).toString)
+              .getOrElse(realFs.toString
+                .stripPrefix(realTarget.toString).stripPrefix("/"))
             if (r.isNullAt(1) || r.isNullAt(2)) None
             else Some(rel -> ((r.getLong(1), r.getLong(2))))
           }.toMap

@@ -380,6 +380,28 @@ class TierRoutingSpec extends SparkSuite {
     assert(mism == 0, "tier_bucket('1mo') diverges from Rollup.bucketWidth")
   }
 
+  test("TWO tier_bucket groupings of different widths must bail (not collapse)") {
+    val turns = TranscriptGen.generate(spark, 6, 15, seed = 91L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    // routing would pick ONE width and rewrite both columns to it —
+    // the 'hour' column would silently contain day buckets
+    def q = spark.read.parquet(rawDir)
+      .groupBy(TierRouting.tierBucket($"ts", Tier.Day).as("day"),
+        TierRouting.tierBucket($"ts", Tier.Hour).as("hour"))
+      .agg(count(lit(1)).as("turn_cnt"))
+    assert(!scannedPaths(q).exists(_.contains("serve/tier")),
+      "double-bucket grouping routed: " + q.queryExecution.optimizedPlan.toString)
+    val expected = turns
+      .groupBy(TierRouting.tierBucket($"ts", Tier.Day).as("day"),
+        TierRouting.tierBucket($"ts", Tier.Hour).as("hour"))
+      .agg(count(lit(1)).as("turn_cnt"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(q.as[(java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet == expected)
+    // distinct day vs hour buckets really exist in the result
+    assert(expected.exists(r => r._1 != r._2))
+  }
+
   test("HAVING / sort above the aggregate still routes (exprIds preserved)") {
     val turns = TranscriptGen.generate(spark, 8, 20, seed = 90L).toDF()
     val (rawDir, _, _) = mkStore(turns, publish = true)

@@ -74,6 +74,67 @@ class StreamingSessionizeSpec extends SparkSuite {
     assert(got.nonEmpty && got.exists(_._2 > 0), "no session splits exercised")
   }
 
+  test("session ids continue after an idle timeout closes a session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(idx: Int, minute: Long) = Turn("cc", idx, "user", "x", None,
+      new java.sql.Timestamp((2000000L + minute) * 60000L))
+    val ms = MemoryStream[Turn]
+    val q = StreamingSessionize.sessions(ms.toDS())
+      .writeStream.format("memory").queryName("sess_resume")
+      .outputMode("append").start()
+    // session 0, then enough watermark advance (via another conv) to
+    // time it out, then the conversation RESUMES hours later
+    ms.addData(Seq(t(0, 0), t(1, 5)))
+    q.processAllAvailable()
+    ms.addData(Seq(Turn("zz-mid", 0, "user", "x", None,
+      new java.sql.Timestamp((2000000L + 500) * 60000L))))
+    q.processAllAvailable() // watermark passes end+gap → session 0 closes
+    ms.addData(Seq(t(2, 1000), t(3, 1005)))
+    q.processAllAvailable()
+    ms.addData(Seq(Turn("zz-flush", 0, "user", "x", None,
+      new java.sql.Timestamp((2000000L + 100000L) * 60000L))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_resume")
+      .filter($"conv_id" === "cc").orderBy($"session_id")
+      .as[(String, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSeq
+    assert(got.map(r => (r._2, r._3)) == Seq((0L, 2L), (1L, 2L)),
+      s"resumed conversation must continue session numbering: $got")
+  }
+
+  test("out-of-order timestamps split on the consecutive-turn gap like batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(idx: Int, minute: Long) = Turn("co", idx, "user", "x", None,
+      new java.sql.Timestamp((3000000L + minute) * 60000L))
+    // by turn_idx: ts = [100m, 0m, 131m] — batch's lag rule diffs
+    // consecutive turns: (0-100)=-100m ≤ gap merges, (131-0)=131m
+    // splits. A running-max rule would see 131-100=31m... also > 30m
+    // here, so pin the subtler case too: [100m, 95m, 126m]:
+    // consecutive diffs (-5m, 31m) → split; running-max diffs
+    // (126-100)=26m → would merge. Expect TWO sessions.
+    val data = Seq(t(0, 100), t(1, 95), t(2, 126))
+    val ms = MemoryStream[Turn]
+    val q = StreamingSessionize.sessions(ms.toDS())
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    ms.addData(data)
+    ms.addData(Seq(Turn("zz-flush", 0, "user", "x", None,
+      new java.sql.Timestamp((3000000L + 100000L) * 60000L))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_ooo")
+      .filter($"conv_id" === "co").orderBy($"session_id")
+      .as[(String, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSeq
+    assert(got.map(r => (r._2, r._3)) == Seq((0L, 2L), (1L, 1L)), got.toString)
+    // session 0 bounds follow min/max ts (batch takes min(ts)/max(ts))
+    assert(got.head._4.getTime == (3000000L + 95) * 60000L)
+    assert(got.head._5.getTime == (3000000L + 100) * 60000L)
+  }
+
   test("mid-batch ordering: out-of-order arrival within one batch sorts by turn_idx") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
