@@ -421,6 +421,31 @@ class TierRoutingSpec extends SparkSuite {
     assert(expected.nonEmpty)
   }
 
+  test("non-UTC session: tier_bucket matches bucketWidth, calendar routing bails") {
+    val turns = TranscriptGen.generate(spark, 6, 15, seed = 92L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      // the marker floors in the SESSION zone, same as Rollup's
+      // year()/month() path — they must agree in any zone
+      val mism = spark.read.parquet(rawDir).select(
+        TierRouting.tierBucket($"ts", "1mo").as("a"),
+        graft.rollup.Rollup.bucketWidth($"ts", "1mo").as("b"))
+        .filter($"a" =!= $"b").count()
+      assert(mism == 0, "tier_bucket('1mo') diverges from bucketWidth off-UTC")
+      // calendar ROUTING is unsound off-UTC (month starts are not UTC
+      // day starts) → must bail to raw; fixed widths still route
+      def q(spec: String) = spark.read.parquet(rawDir)
+        .groupBy($"conv_id", TierRouting.tierBucket($"ts", spec).as("bucket_ts"))
+        .agg(count(lit(1)).as("turn_cnt"))
+      assert(!scannedPaths(q("1mo")).exists(_.contains("serve/tier")),
+        "calendar request routed in a non-UTC session")
+      assert(scannedPaths(q("1h")).exists(_.contains("serve/tier_1h")),
+        "fixed-width routing must be unaffected by the session zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("an aggregate FILTER clause blocks routing (partials cannot re-filter)") {
     val turns = TranscriptGen.generate(spark, 6, 15, seed = 86L).toDF()
     val (rawDir, _, _) = mkStore(turns, publish = true)
