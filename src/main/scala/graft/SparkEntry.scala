@@ -91,6 +91,14 @@ object SparkEntry {
       GapFill.zero(Rollup.rollupRaw(turns(s, dir), Tier.Hour),
         "turn_cnt", Tier.Hour)),
 
+    // --- gap-fill at the FINEST tier: the dense 1m grid is the shape
+    // the span guard exists for — conversations here span hours, so
+    // the grid stays well under the ceiling and the guard is a no-op
+    // predicate on the hot path ---
+    "q_gapfill_zero_1m" -> ((s, dir) =>
+      GapFill.zero(Rollup.rollupRaw(turns(s, dir), Tier.Minute),
+        "turn_cnt", Tier.Minute)),
+
     // --- Gorilla chunk encode→decode round-trip, distributed (§2.9) ---
     "q_chunk_roundtrip" -> ((s, dir) => {
       val m1 = Rollup.rollupRaw(turns(s, dir), Tier.Minute)
@@ -675,6 +683,21 @@ object SparkEntry {
            |  SELECT conv_id,
            |    unnest(generate_series(min(bucket_ts), max(bucket_ts),
            |      INTERVAL 1 HOUR)) AS bucket_ts
+           |  FROM t GROUP BY conv_id),
+           |j AS (
+           |  SELECT g.conv_id, g.bucket_ts, CAST(t.turn_cnt AS DOUBLE) AS v
+           |  FROM grid g LEFT JOIN t
+           |    ON t.conv_id = g.conv_id AND t.bucket_ts = g.bucket_ts)
+           |SELECT conv_id, bucket_ts,
+           |  coalesce(v, 0.0) AS value,
+           |  (v IS NULL) AS filled
+           |FROM j""".stripMargin),
+      "q_gapfill_zero_1m" -> withTurns(
+        s"""WITH t AS (${Rollup.oracleSql(Tier.Minute)}),
+           |grid AS (
+           |  SELECT conv_id,
+           |    unnest(generate_series(min(bucket_ts), max(bucket_ts),
+           |      INTERVAL 1 MINUTE)) AS bucket_ts
            |  FROM t GROUP BY conv_id),
            |j AS (
            |  SELECT g.conv_id, g.bucket_ts, CAST(t.turn_cnt AS DOUBLE) AS v

@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * single regexp_replace pass: a CHAIN of replaces would let a later
   * pattern match inside an earlier replacement and break the
   * params-equals-diff invariant.
+  *
+  * Known limit: a line whose CONSTANT text already contains the
+  * literal mask token `<VAR>` cannot be reconstructed from
+  * (template, params) — the template can't distinguish it from a
+  * masked variable. Grouping/counting (the mining use) is unaffected;
+  * only the splice-back inverse is lossy there.
   */
 object LogTemplates {
 
