@@ -230,6 +230,26 @@ class TierRoutingSpec extends SparkSuite {
     assert(q.as[(String, java.sql.Timestamp, Long, Long)].collect().toSet == expected)
   }
 
+  test("pure-SQL monthly dashboard routes to the 1d tier") {
+    val turns = TranscriptGen.generate(spark, 6, 15, seed = 93L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(rawDir).createOrReplaceTempView("raw_monthly_sql")
+    def q = spark.sql(
+      """SELECT tier_bucket(ts, '1mo') AS month,
+        |  count(*) AS turn_cnt, count(DISTINCT conv_id) AS active_convs
+        |FROM raw_monthly_sql GROUP BY 1""".stripMargin)
+    assert(scannedPaths(q).exists(_.contains("serve/tier_1d")),
+      q.queryExecution.optimizedPlan.toString)
+    val expected = turns
+      .groupBy(TierRouting.tierBucket($"ts", "1mo").as("month"))
+      .agg(count(lit(1)).as("turn_cnt"),
+        count_distinct($"conv_id").as("active_convs"))
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(q.as[(java.sql.Timestamp, Long, Long)].collect().toSet == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("1d request with no 1d serving dir folds the 1h tier") {
     val turns = TranscriptGen.generate(spark, 10, 25, seed = 75L).toDF()
     val (rawDir, wh, _) = mkStore(turns, publish = true)
