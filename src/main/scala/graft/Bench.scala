@@ -90,8 +90,11 @@ object Bench {
     // time must not read as a speedup.
     val commonTotal = results.collect {
       case (k, v) if r2Queries.contains(k) && v >= 0 => v }.sum
+    // errored OR missing (renamed/removed) — either way the omitted
+    // wall time must not read as a speedup
     val commonErrored = results.count {
-      case (k, v) => r2Queries.contains(k) && v < 0 }
+      case (k, v) => r2Queries.contains(k) && v < 0 } +
+      r2Queries.diff(results.keySet).size
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"error_count":${errors.size},""" +
       s""""common_total":$commonTotal,"common_n":${r2Queries.size},""" +

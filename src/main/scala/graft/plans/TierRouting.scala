@@ -78,8 +78,15 @@ object TierRouting {
     * branch, which is session-timezone-based (`year()`/`month()`), so
     * the marker captures the session zone at construction.
     */
-  def floorCalendarUs(us: Long, months: Int, zoneId: String): Long = {
-    val zone = java.time.ZoneId.of(zoneId)
+  def floorCalendarUs(us: Long, months: Int, zoneId: String): Long =
+    floorCalendarUs(us, months, java.time.ZoneId.of(zoneId))
+
+  /** ZoneId overload — the per-row call site: the zone is resolved
+    * ONCE (codegen reference object / cached field), never per row
+    * (per-row zone lookups are the contention Rollup.bucket's
+    * arithmetic form exists to avoid).
+    */
+  def floorCalendarUs(us: Long, months: Int, zone: java.time.ZoneId): Long = {
     val d = java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L)).atZone(zone)
     val mos = (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
@@ -115,18 +122,26 @@ object TierRouting {
     // specs are validated inside calendarMonths: zero-width throws)
     private val widthUs: Long =
       if (months.isDefined) 0L else Rollup.parseWidthUs(spec)
+    // zone resolved once, not per row (transient: ZoneId is not
+    // serializable-stable across Spark versions; re-derive on the
+    // executor from the captured id)
+    @transient private lazy val zone: java.time.ZoneId =
+      java.time.ZoneId.of(timeZoneId)
     override def dataType: DataType = TimestampType
     override def nullSafeEval(v: Any): Any = {
       val us = v.asInstanceOf[Long] // TimestampType is epoch micros
       java.lang.Long.valueOf(months match {
-        case Some(m) => floorCalendarUs(us, m, timeZoneId)
+        case Some(m) => floorCalendarUs(us, m, zone)
         case None => us - java.lang.Math.floorMod(us, widthUs)
       })
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c => months match {
         case Some(m) =>
-          val tz = ctx.addReferenceObj("tierBucketTz", timeZoneId, "java.lang.String")
+          // ship the resolved ZoneId as a reference object: one
+          // lookup per task, not one per row
+          val tz = ctx.addReferenceObj("tierBucketZone",
+            java.time.ZoneId.of(timeZoneId), "java.time.ZoneId")
           s"${ev.value} = graft.plans.TierRouting.floorCalendarUs($c, $m, $tz);"
         case None =>
           s"${ev.value} = $c - java.lang.Math.floorMod($c, ${widthUs}L);"
@@ -401,24 +416,22 @@ object TierRouting {
           // inlines aliases, so tier_bucket(ts + 1h) arrives here with
           // ts in its references but is NOT the tier's bucket key
           if isTsAttr(tb.child, raw)
-          tbAttrIds = groupings.collect {
-            case a: Attribute if resolveTierBucket(a, child).isDefined => a.exprId
-          }.toSet
+          // classify each grouping ONCE: bucket marker or raw conv_id
+          bucketGroupings = groupings.filter(g =>
+            resolveTierBucket(g, child).isDefined)
+          tbAttrIds = bucketGroupings.collect { case a: Attribute => a.exprId }.toSet
           convGrouping = groupings.collectFirst {
             case a: Attribute if a.name == "conv_id" && isRawAttr(a, raw) => a }
-          // every grouping key must be the bucket or the raw conv_id,
-          // and exactly ONE grouping may be a TierBucket: two buckets
-          // of different widths would be collapsed to one key and
-          // both rewritten to the first width — silently wrong
-          if groupings.count {
-            case a: Attribute => tbAttrIds.contains(a.exprId)
-            case e => resolveTierBucket(e, child).isDefined
-          } == 1
-          if groupings.forall {
-            case a: Attribute =>
-              tbAttrIds.contains(a.exprId) || convGrouping.exists(_.exprId == a.exprId)
-            case e => resolveTierBucket(e, child).isDefined
-          }
+          // exactly ONE grouping may be a TierBucket (two buckets of
+          // different widths would be collapsed to one key and both
+          // rewritten to the first width — silently wrong), and every
+          // other grouping must be the raw conv_id
+          if bucketGroupings.size == 1
+          if groupings.forall(g =>
+            bucketGroupings.contains(g) || (g match {
+              case a: Attribute => convGrouping.exists(_.exprId == a.exprId)
+              case _ => false
+            }))
           months = calendarMonths(tb.spec)
           fixedUs = months.fold(Rollup.parseWidthUs(tb.spec))(_ => 0L)
           // calendar routing is sound only in a UTC session: the 1d

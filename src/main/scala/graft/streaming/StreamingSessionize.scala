@@ -46,6 +46,10 @@ object StreamingSessionize {
     * timeouts and resumed conversations keep batch-equal session ids;
     * total state is therefore O(#conversations), the same order as
     * any per-conversation batch aggregate.
+    *
+    * NOTE: this schema is part of the streaming checkpoint — changing
+    * its fields invalidates existing checkpoints (restart streams
+    * from a fresh checkpointLocation across such a change).
     */
   final case class ConvState(
       nextSessionId: Long,
@@ -112,9 +116,14 @@ object StreamingSessionize {
         }
       }
       state.update(st)
-      // close the open session once the watermark passes end + gap
+      // close the open session once the watermark passes end + gap.
+      // CEILING millis: truncating each term would let the timeout
+      // fire up to ~2ms before end+gap, opening a tiny window where a
+      // within-gap turn starts a new session the batch plan would
+      // have merged
       if (st.open)
-        state.setTimeoutTimestamp(st.endUs / 1000L + gapUs / 1000L)
+        state.setTimeoutTimestamp(
+          Math.floorDiv(st.endUs + gapUs + 999L, 1000L))
       closed.iterator
     }
   }
