@@ -319,6 +319,23 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
     }),
 
+    // --- two-dim broadcast join + grouped agg over the remaining
+    // TPC-H-ish tables (part, supplier): revenue cents by brand and
+    // supplier nation — J7-family star join, both dims broadcast ---
+    "q_brand_revenue" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val part = broadcast(s.read.parquet(s"$dir/part.parquet"))
+      val supp = broadcast(s.read.parquet(s"$dir/supplier.parquet"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_brand"), col("s_nationkey"))
+        .agg(
+          count(lit(1)).as("line_cnt"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"))
+    }),
+
     // --- mode with deterministic tiebreak (A1's mode(); Spark/DuckDB
     // built-in mode() breaks ties arbitrarily — pin with (count desc,
     // value asc) ranking instead, per SURVEY §7 hard parts) ---
@@ -858,6 +875,16 @@ object SparkEntry {
           |  unnest(l) AS token
           |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
           |      FROM documents)""".stripMargin,
+      "q_brand_revenue" ->
+        """SELECT p_brand, s_nationkey,
+          |  count(*) AS line_cnt,
+          |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+          |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |GROUP BY 1, 2""".stripMargin,
       "q_region_rollup" ->
         """SELECT r_name, count(*) AS order_cnt,
           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
