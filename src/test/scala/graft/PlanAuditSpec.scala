@@ -48,6 +48,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_brand_revenue broadcasts both dims and keeps partial aggregation") {
+    val p = plan("q_brand_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), s"star agg lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"dim join degraded to a shuffle join:\n$p")
+  }
+
   test("rollup queries keep map-side partial aggregation") {
     Seq("q_rollup_1m", "q_rollup_1d").foreach { q =>
       val p = plan(q)
