@@ -28,6 +28,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Untimed warm-up BEFORE the per-query loop: the first timed query
+    // otherwise absorbs ~3-5 s of one-off JIT/codegen/parquet-reader
+    // warm-up, manufacturing phantom regressions for whichever query
+    // happens to run first (r2: q_text_stats; r3: q_rollup_30s). One
+    // throwaway pass through a read→hash-agg→window shape warms the
+    // scan, codegen, and exchange machinery the real queries use.
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      ev.groupBy(col("event_type")).count().count()
+      ev.select(row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("event_id"))).as("rn"))
+        .filter(col("rn") === 1).count()
+    } catch { case _: Throwable => () } // warm-up must never fail the bench
+
     // a crashed query must not look fast: its time is reported as -1
     // AND its error surfaces in the "errors" object of the JSON line
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -24,9 +24,18 @@ object Dedup {
   /** Exact dedup, keep-first pinned by an explicit order column —
     * never an unpinned dropDuplicates (SURVEY.md §7 hard parts:
     * nondeterministic keep-first is a bug, not a semantics).
+    *
+    * `tiebreaks` pins the survivor when two rows tie on (key, order):
+    * row_number over a tied ordering keeps an ARBITRARY row otherwise
+    * (run-to-run nondeterministic across partitionings). Callers with
+    * payload columns that can differ at equal order MUST pass
+    * tiebreaks (e.g. a hash over the payload — see
+    * [[rollup.Pipeline]]'s in-batch dedupe).
     */
-  def exactKeepFirst(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+  def exactKeepFirst(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      tiebreaks: org.apache.spark.sql.Column*): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol) +: tiebreaks: _*)
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
@@ -53,18 +62,29 @@ object Dedup {
           i => col(textCol).substr(i, lit(n)))).as("shingle"))
       .distinct()
 
-  /** MinHash signature: for each id, k minima of seeded murmur3 over
-    * its shingle set — one grouped pass, k min-aggregates.
+  /** MinHash signature: for each id, k minima of a universal affine
+    * family over the shingle's [[graft.functions.TextFunctions]]
+    * fingerprint — one grouped pass, k min-aggregates (map-side
+    * combined). The [[graft.functions.MirrorHash]] family replaces
+    * seeded murmur3 so the signature (and everything downstream of
+    * it: bands, candidates, Jaccard verification) has an exact DuckDB
+    * mirror and hash-checks against the oracle.
     */
   def minHashSignatures(shingles: DataFrame, idCol: String, k: Int): DataFrame = {
+    import graft.functions.{MirrorHash, TextFunctions}
+    val withFp = shingles.withColumn("_fp",
+      TextFunctions.fingerprint(col("shingle")))
     val mins = (0 until k).map(i =>
-      min(hash(col("shingle"), lit(i))).as(s"mh_$i"))
-    shingles.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      min(MirrorHash.affine(col("_fp"),
+        MirrorHash.a(MirrorHash.MinHashSalt, i),
+        MirrorHash.b(MirrorHash.MinHashSalt, i))).as(s"mh_$i"))
+    withFp.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: split the k-wide signature into `bands` bands of
-    * k/bands rows each; band key = hash of the band's minhashes.
-    * Returns (id, band_idx, band_hash).
+    * k/bands rows each; band key = polynomial combine of the band's
+    * minhashes ([[graft.functions.MirrorHash.bandCombine]] — DuckDB-
+    * mirrorable, unlike murmur3). Returns (id, band_idx, band_hash).
     */
   def lshBands(signatures: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
@@ -72,7 +92,7 @@ object Dedup {
     val bandRows = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
       signatures.select(col(idCol), lit(b).as("band_idx"),
-        hash(cols: _*).as("band_hash"))
+        graft.functions.MirrorHash.bandCombine(cols).as("band_hash"))
     }
     bandRows.reduce(_ unionByName _)
   }
@@ -110,17 +130,27 @@ object Dedup {
         (col("sz1") + col("sz2") - col("inter_sz")).as("union_sz"))
   }
 
-  /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint
-    * is the sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
-    * Computed as 64 conditional sums in one grouped pass, packed with
-    * a fold — no UDF, fully codegen'd.
+  /** 64-bit SimHash over whitespace tokens: bit b of the output is
+    * the sign of Σ_tokens sign_b(token), where sign_b is the parity
+    * of the b-th [[graft.functions.MirrorHash]] affine transform of
+    * the token's fingerprint — 64 independent Carter–Wegman sign
+    * hashes (the classic SimHash construction; xx64 bit-slicing had
+    * no DuckDB mirror, this does). Computed as 64 conditional sums in
+    * one grouped pass, packed with a fold — no UDF, fully codegen'd.
+    * Equal tokens share every sign (same fingerprint), which is
+    * exactly SimHash's locality property; the 31-bit fingerprint
+    * domain merges the rare colliding token pair, a negligible
+    * perturbation of the bit sums.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.{MirrorHash, TextFunctions}
     val toks = df.select(col(idCol),
       explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("_fp", TextFunctions.fingerprint(col("tok")))
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      sum(when(MirrorHash.affine(col("_fp"),
+        MirrorHash.a(MirrorHash.SimHashSalt, b),
+        MirrorHash.b(MirrorHash.SimHashSalt, b)) % 2 === 1, 1).otherwise(-1))
         .as(s"bs_$b")
     }
     val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)

@@ -75,7 +75,7 @@ object Similarity {
     * query constant, so recomputing its components per row (the old
     * HOF form) was pure waste.
     */
-  private[operators] def hyperplane(dim: Int, planeSeed: Int): Array[Double] =
+  private[graft] def hyperplane(dim: Int, planeSeed: Int): Array[Double] =
     Array.tabulate(dim) { d =>
       (math.floorMod(mixed(planeSeed.toLong, d.toLong), 100000L).toDouble / 100000.0) - 0.5
     }
@@ -100,7 +100,8 @@ object Similarity {
     * result instead of throwing NoSuchElementException.
     */
   private def dimOf(embeddings: DataFrame, vecCol: String): Option[Int] =
-    embeddings.select(size(col(vecCol)).as("d"))
+    embeddings.filter(col(vecCol).isNotNull) // a null first row must not NPE
+      .select(size(col(vecCol)).as("d"))
       .head(1).headOption.map(_.getInt(0))
 
   def lshPairs(embeddings: DataFrame, idCol: String, vecCol: String,

@@ -73,8 +73,12 @@ final class TranscriptStore(
   def ingest(turns: DataFrame, dedupe: Boolean = false): Long = {
     val base = turns.select(turnCols.map(col): _*)
     val deduped = if (!dedupe) base else {
+      // tiebreak: duplicate keys with EQUAL ts but different payloads
+      // must keep a deterministic survivor across runs/partitionings —
+      // a hash over the payload columns pins one (ADVICE r3)
       val inBatch = graft.operators.Dedup.exactKeepFirst(
-        base, Seq("conv_id", "turn_idx"), "ts")
+        base, Seq("conv_id", "turn_idx"), "ts",
+        hash(col("role"), col("text"), col("tool")))
       if (raw.currentSnapshotId == 0L) inBatch else {
         val days = inBatch.select(date_format(col("ts"), "yyyy-MM-dd"))
           .distinct().collect().map(_.getString(0)).toSet
@@ -320,6 +324,14 @@ final class TranscriptStore(
     val fresh1d = if (consumedSrc(tier1d) >= tier1h.currentSnapshotId) fresh1h else 0L
     val p = graft.plans.TierRouting.watermarksPath(warehouse)
     java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, s"1m=$fresh1m\n1h=$fresh1h\n1d=$fresh1d\n")
+    // write-temp + ATOMIC_MOVE (same discipline as ChronoTable.commit):
+    // a concurrent reader must see either the old stamps or the new
+    // ones — never a truncated file that parses as watermark 0 and
+    // silently disables routing for the whole publish window
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, s"1m=$fresh1m\n1h=$fresh1h\n1d=$fresh1d\n")
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }
