@@ -61,6 +61,10 @@ object SparkEntry {
     // months-since-epoch floor ≡ date_trunc('month') — the bread-and-
     // butter monthly report the fixed-width path can't express ---
     "q_rollup_1mo" -> ((s, dir) => Rollup.rollupRawWidth(turns(s, dir), "1mo")),
+    // calendar NEAREST: round to whichever month boundary is closer
+    // (midpoint → up), completing the reference's dt.round grammar
+    "q_rollup_round_1mo" -> ((s, dir) =>
+      Rollup.rollupRawWidth(turns(s, dir), "1mo", nearest = true)),
 
     // --- cumulative counts over buckets (J3/A5 as window, not loops) ---
     "q_cumulative_1d" -> ((s, dir) => {
@@ -641,6 +645,14 @@ object SparkEntry {
       // calendar month bucket ≡ date_trunc('month') — the oracle
       // proves the months-since-epoch arithmetic IS calendar flooring
       "q_rollup_1mo" -> withTurns(Rollup.oracleSqlExpr("date_trunc('month', ts)")),
+      // nearest month boundary, midpoint up: 2·ts ≥ t0 + t1 picks t1 —
+      // the same no-division comparison as Rollup.bucketWidth
+      "q_rollup_round_1mo" -> withTurns(Rollup.oracleSqlExpr(
+        "CASE WHEN epoch_us(ts) * 2 >= " +
+          "epoch_us(date_trunc('month', ts)) + " +
+          "epoch_us(date_trunc('month', ts) + INTERVAL 1 MONTH) " +
+          "THEN date_trunc('month', ts) + INTERVAL 1 MONTH " +
+          "ELSE date_trunc('month', ts) END")),
       "q_cumulative_1d" -> withTurns(
         s"""SELECT conv_id, bucket_ts,
            |  CAST(sum(turn_cnt) OVER w AS BIGINT) AS cum_turns,

@@ -28,6 +28,7 @@ final case class TierRow(
     bucket_ts: java.sql.Timestamp,
     turn_cnt: Long,
     tool_cnt: Long,
+    text_cnt: Long,
     text_len_sum: Long,
     text_len_min: Long,
     text_len_max: Long,
@@ -78,6 +79,7 @@ object Schemas {
     StructField("bucket_ts", TimestampType, nullable = false),
     StructField("turn_cnt", LongType, nullable = false),
     StructField("tool_cnt", LongType, nullable = false),
+    StructField("text_cnt", LongType, nullable = false),
     StructField("text_len_sum", LongType, nullable = false),
     StructField("text_len_min", LongType, nullable = false),
     StructField("text_len_max", LongType, nullable = false),

@@ -41,6 +41,7 @@ object Oracle {
           bucket_ts = toTs(b),
           turn_cnt = ts.size.toLong,
           tool_cnt = ts.count(_.tool.isDefined).toLong,
+          text_cnt = ts.count(_.text != null).toLong,
           text_len_sum = lens.sum,
           text_len_min = lens.min,
           text_len_max = lens.max,

@@ -366,14 +366,16 @@ object TierRouting {
           Some(Min(tierCol("text_len_min")).toAggregateExpression())
         case Max(e) if rawText(e) =>
           Some(Max(tierCol("text_len_max")).toAggregateExpression())
-        // avg(length(text)) = Σ text_len_sum / Σ turn_cnt — derivable
-        // because text is non-null under the model contract (the
-        // average's own count equals the row count then). Cast to
-        // double on both sides mirrors Average.evaluateExpression.
+        // avg(length(text)) = Σ text_len_sum / Σ text_cnt. The divisor
+        // is the NON-NULL count partial — raw Average divides by the
+        // non-null count, so turn_cnt would silently overcount on any
+        // table with null text (ADVICE r3). Cast to double on both
+        // sides mirrors Average.evaluateExpression; all-null groups
+        // give null/0 → null, exactly Average's result.
         case Average(e, _) if rawText(e) =>
           Some(Divide(
             Cast(Sum(tierCol("text_len_sum")).toAggregateExpression(), DoubleType),
-            Cast(Sum(tierCol("turn_cnt")).toAggregateExpression(), DoubleType)))
+            Cast(Sum(tierCol("text_cnt")).toAggregateExpression(), DoubleType)))
         case _ => None
       }
     }

@@ -27,14 +27,19 @@ import graft.model.Tier
   */
 object Rollup {
 
-  val metricCols: Seq[String] = Seq("turn_cnt", "tool_cnt", "text_len_sum",
-    "text_len_min", "text_len_max", "role_user_cnt", "role_assistant_cnt",
-    "role_tool_cnt")
+  val metricCols: Seq[String] = Seq("turn_cnt", "tool_cnt", "text_cnt",
+    "text_len_sum", "text_len_min", "text_len_max", "role_user_cnt",
+    "role_assistant_cnt", "role_tool_cnt")
 
-  /** Aggregations from raw turn rows. */
+  /** Aggregations from raw turn rows. `text_cnt` (count of NON-NULL
+    * texts) exists so a routed avg(length(text)) divides by the same
+    * count the raw Average would — turn_cnt would silently diverge on
+    * any table with null text (ADVICE r3).
+    */
   private def rawAggs: Seq[Column] = Seq(
     count(lit(1)).as("turn_cnt"),
     count(col("tool")).as("tool_cnt"),
+    count(col("text")).as("text_cnt"),
     sum(length(col("text")).cast("long")).as("text_len_sum"),
     min(length(col("text")).cast("long")).as("text_len_min"),
     max(length(col("text")).cast("long")).as("text_len_max"),
@@ -48,6 +53,7 @@ object Rollup {
   def foldAggs: Seq[Column] = Seq(
     sum(col("turn_cnt")).as("turn_cnt"),
     sum(col("tool_cnt")).as("tool_cnt"),
+    sum(col("text_cnt")).as("text_cnt"),
     sum(col("text_len_sum")).as("text_len_sum"),
     min(col("text_len_min")).as("text_len_min"),
     max(col("text_len_max")).as("text_len_max"),
@@ -139,25 +145,37 @@ object Rollup {
     * "1s…1y" grammar, ParseSettings.py:17-19) are not fixed-length:
     * they floor in months-since-epoch space (`1mo` ≡ DuckDB/Spark
     * `date_trunc('month')`, `3mo` ≡ quarter, `1y` ≡ year — proven by
-    * the q_rollup_1mo oracle). Round-to-NEAREST is refused for
-    * calendar widths: "half a month" is ill-defined across 28/31-day
-    * months.
+    * the q_rollup_1mo oracle). `nearest = true` on a calendar width
+    * uses the actual BOUNDARIES, not a fictional "half a month":
+    * pick whichever of (bucket start, next bucket start) is closer,
+    * the exact midpoint mapping UP — Polars `dt.round`'s documented
+    * first-half/second-half rule, correct across 28/29/30/31-day
+    * months by construction (completes the reference's grammar
+    * matrix, rounding-identifiers.md:1-32).
     */
   def bucketWidth(tsCol: Column, spec: String, nearest: Boolean = false): Column =
     calendarMonths(spec) match {
       case Some(perBucket) =>
-        require(!nearest,
-          s"round-to-nearest is undefined for calendar width '$spec'")
         val ts = tsCol.cast("timestamp")
         // months since epoch, floored to the bucket; pmod keeps floor
         // semantics pre-1970. Integer division via floor(x/12) on the
         // already-floored month count (always a multiple of perBucket).
         val mos = (year(ts) - lit(1970)) * lit(12) + (month(ts) - lit(1))
         val floored = mos - pmod(mos, lit(perBucket))
-        to_timestamp(make_date(
-          lit(1970) + floor(floored.cast("double") / 12.0).cast("int"),
-          pmod(floored, lit(12)).cast("int") + lit(1),
-          lit(1)))
+        def monthStart(m: Column): Column =
+          to_timestamp(make_date(
+            lit(1970) + floor(m.cast("double") / 12.0).cast("int"),
+            pmod(m, lit(12)).cast("int") + lit(1),
+            lit(1)))
+        val t0 = monthStart(floored)
+        if (!nearest) t0
+        else {
+          val t1 = monthStart(floored + lit(perBucket))
+          // 2·ts ≥ t0 + t1 ⟺ ts − t0 ≥ t1 − ts (no division, ties up);
+          // |2·us| < 2⁶³ for any timestamp Spark can represent
+          val us = unix_micros(ts)
+          when(us * 2 >= unix_micros(t0) + unix_micros(t1), t1).otherwise(t0)
+        }
       case _ =>
         val w = parseWidthUs(spec)
         val us0 = unix_micros(tsCol.cast("timestamp"))
@@ -217,6 +235,7 @@ object Rollup {
     s"""SELECT conv_id, $bucketExpr AS bucket_ts,
        |  count(*) AS turn_cnt,
        |  count(tool) AS tool_cnt,
+       |  count(text) AS text_cnt,
        |  CAST(sum(length(text)) AS BIGINT) AS text_len_sum,
        |  CAST(min(length(text)) AS BIGINT) AS text_len_min,
        |  CAST(max(length(text)) AS BIGINT) AS text_len_max,

@@ -90,6 +90,7 @@ object StreamingRollup {
       .agg(
         count(lit(1)).as("turn_cnt"),
         count(col("tool")).as("tool_cnt"),
+        count(col("text")).as("text_cnt"),
         sum(length(col("text")).cast("long")).as("text_len_sum"),
         min(length(col("text")).cast("long")).as("text_len_min"),
         max(length(col("text")).cast("long")).as("text_len_max"),

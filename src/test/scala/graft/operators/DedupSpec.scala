@@ -17,6 +17,21 @@ class DedupSpec extends SparkSuite {
     assert(got == Set((1L, "x"), (2L, "y")))
   }
 
+  test("exactKeepFirst tiebreaks pin the survivor when (key, order) ties") {
+    // equal key AND equal order value, differing payload: without a
+    // tiebreak the survivor is partitioning-dependent; with one it is
+    // pinned (r3 verdict ask #3)
+    val df = Seq((1L, 10L, "b-payload"), (1L, 10L, "a-payload"),
+      (2L, 5L, "solo")).toDF("k", "ord", "payload")
+    (1 to 3).foreach { rep =>
+      val got = Dedup.exactKeepFirst(
+        df.repartition(rep, col("payload")), // vary physical order
+        Seq("k"), "ord", col("payload"))
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == Set((1L, 10L, "a-payload"), (2L, 5L, "solo")))
+    }
+  }
+
   test("dropAllDuplicates removes every member of a duplicated group (A8)") {
     val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("doc_id", "text")
     val got = Dedup.dropAllDuplicates(df, Seq("text"))

@@ -115,6 +115,50 @@ class TierRoutingSpec extends SparkSuite {
     (rawDir, wh, store)
   }
 
+  test("production path: builder.withExtensions(GraftExtensions) routes, no install()") {
+    import org.apache.spark.sql.SparkSession
+    val turns = TranscriptGen.generate(spark, 6, 15, seed = 86L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    // a fresh session built the way a real deployment does it:
+    // withExtensions must provide BOTH the SQL surface (tier_bucket)
+    // and the optimizer rule — TierRouting.install is never called on
+    // it. getOrCreate returns the existing session when one is
+    // default/active (ignoring new extensions), so clear + restore.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val fresh = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate() // shares the SparkContext, new session state
+      assert(fresh ne spark, "expected a NEW session over the shared context")
+      fresh.read.parquet(rawDir).createOrReplaceTempView("turns_ext")
+      val q = fresh.sql(
+        "SELECT conv_id, tier_bucket(ts, '1h') AS bucket_ts, " +
+          "count(*) AS turn_cnt FROM turns_ext GROUP BY 1, 2")
+      assert(scannedPaths(q).exists(_.contains("serve/tier_1h")),
+        "extensions-injected rule did not route:\n" +
+          q.queryExecution.optimizedPlan.toString)
+      val got = q.as[(String, java.sql.Timestamp, Long)](
+        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.TIMESTAMP, org.apache.spark.sql.Encoders.scalaLong))
+        .collect().toSet
+      val expected = turns
+        .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+        .agg(count(lit(1)).as("turn_cnt"))
+        .as[(String, java.sql.Timestamp, Long)].collect().toSet
+      assert(got == expected)
+      // do NOT fresh.stop(): the SparkContext is shared with every suite
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("a Filter between aggregate and scan blocks routing (no unfiltered totals)") {
     val turns = TranscriptGen.generate(spark, 8, 20, seed = 71L).toDF()
     val (rawDir, _, _) = mkStore(turns, publish = true)
@@ -301,6 +345,29 @@ class TierRoutingSpec extends SparkSuite {
 
   test("avg(length(text)) routes via the sum/count-derived form") {
     val turns = TranscriptGen.generate(spark, 8, 20, seed = 84L).toDF()
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    def q = spark.read.parquet(rawDir)
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(avg(length($"text")).as("avg_len"))
+    assert(scannedPaths(q).exists(_.contains("serve/tier_1h")),
+      q.queryExecution.optimizedPlan.toString)
+    val expected = turns
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(avg(length($"text")).as("avg_len"))
+      .as[(String, java.sql.Timestamp, Double)].collect().toSet
+    assert(q.as[(String, java.sql.Timestamp, Double)].collect().toSet == expected)
+  }
+
+  test("avg(length(text)) stays exact when text has NULLs (text_cnt divisor)") {
+    // raw Average divides by the NON-NULL count; a turn_cnt divisor
+    // would silently dilute the average on this table (ADVICE r3)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val rows = (0 until 40).map { i =>
+      val text: String = if (i % 4 == 0) null else "x" * (10 + i % 7)
+      ("c" + (i % 2), i / 2, "user", text, null: String,
+        new java.sql.Timestamp(base.getTime + i * 60000L))
+    }
+    val turns = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
     val (rawDir, _, _) = mkStore(turns, publish = true)
     def q = spark.read.parquet(rawDir)
       .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))

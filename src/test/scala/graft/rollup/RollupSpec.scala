@@ -121,7 +121,7 @@ class RollupSpec extends SparkSuite {
       ("2025-01-01 00:00:00", "2025-01-01 00:00:00", "2025-01-01 00:00:00")))
   }
 
-  test("calendar widths equal date_trunc; nearest mode is refused") {
+  test("calendar widths equal date_trunc") {
     import org.apache.spark.sql.functions._
     val ts = turnsDs.toDF().select($"ts")
     val mism = ts.select(
@@ -134,8 +134,36 @@ class RollupSpec extends SparkSuite {
       date_trunc("year", $"ts".cast("timestamp")).as("b"))
       .filter($"a" =!= $"b").count()
     assert(mismY == 0, "1y diverges from date_trunc('year')")
-    intercept[IllegalArgumentException](
-      Rollup.bucketWidth($"ts", "1mo", nearest = true))
+  }
+
+  test("calendar NEAREST: real boundaries, midpoint up, month-length asymmetry") {
+    import org.apache.spark.sql.functions._
+    // midpoints differ per month length: Jan(31d)→16th 12:00,
+    // Feb-leap(29d)→15th 12:00, Feb-nonleap(28d)→15th 00:00,
+    // leap year(366d)→Jul 2 00:00 — a fixed "half width" cannot
+    // reproduce these; boundary comparison does
+    val df = Seq(
+      "2024-01-16 11:59:59", // just before 31-day midpoint → Jan
+      "2024-01-16 12:00:00", // exact midpoint → ties UP → Feb
+      "2024-02-15 11:59:59", // leap Feb, before midpoint → Feb
+      "2024-02-15 12:00:00", // leap Feb midpoint → Mar
+      "2023-02-14 23:59:59", // non-leap Feb, before midpoint → Feb
+      "2023-02-15 00:00:00", // non-leap Feb midpoint → Mar
+      "2024-12-31 23:00:00"  // late Dec → next YEAR's Jan 1
+    ).toDF("s").select(to_timestamp($"s").as("ts"))
+    def fmt(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd")
+    val got = df.select(
+      fmt(Rollup.bucketWidth($"ts", "1mo", nearest = true)).as("mo"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "2024-01-01", "2024-02-01", "2024-02-01", "2024-03-01",
+      "2023-02-01", "2023-03-01", "2025-01-01"))
+    // leap-year midpoint: 2024 has 366 days → boundary at Jul 2 00:00
+    val y = Seq("2024-07-01 23:59:59", "2024-07-02 00:00:00")
+      .toDF("s").select(to_timestamp($"s").as("ts"))
+      .select(fmt(Rollup.bucketWidth($"ts", "1y", nearest = true)).as("y"))
+      .as[String].collect().toSeq
+    assert(y == Seq("2024-01-01", "2025-01-01"))
   }
 
   test("tier-width bucketWidth agrees with the Tier bucket") {

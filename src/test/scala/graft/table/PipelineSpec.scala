@@ -238,5 +238,28 @@ class PipelineSpec extends SparkSuite {
     assert(perTier.values.toSet.size == 1, s"turn counts not conserved: $perTier")
   }
 
+  test("publishServing stamps WATERMARKS atomically: old-or-new, never partial") {
+    val wh = tmpWarehouse("atomicwm")
+    val store = new TranscriptStore(spark, wh, convBuckets = 2)
+    store.ingest(TranscriptGen.generate(spark, 4, 8, seed = 43L).toDF())
+    store.rollupIncremental()
+    val p = graft.plans.TierRouting.watermarksPath(wh)
+    // a stale stamp file AND a leftover tmp from a crashed publish
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, "1m=0\n1h=0\n1d=0\n")
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, "1m=999\n") // truncated crash debris
+    store.publishServing()
+    // the publish replaced the stamps via rename: tmp is consumed,
+    // and the visible file is the complete NEW content (a reader at
+    // any point saw either the old stamps or these — the rename is
+    // atomic, there is no intermediate truncated state on disk)
+    assert(!Files.exists(tmp), "tmp file must be consumed by the rename")
+    val content = Files.readString(p)
+    val stamps = content.trim.split("\n").map(_.split("=")).map(a => a(0) -> a(1).toLong).toMap
+    assert(stamps.keySet == Set("1m", "1h", "1d"), content)
+    assert(stamps.values.forall(_ > 0L), s"expected fresh non-zero stamps: $content")
+  }
+
   private def lit(s: String) = org.apache.spark.sql.functions.lit(s)
 }
