@@ -355,6 +355,26 @@ object SparkEntry {
         .select(col("conv_id"), col("tool").as("mode_tool"), col("cnt").as("mode_cnt"))
     }),
 
+    // --- the reference's ACTUAL multi-mode semantics
+    // (TraceInOneRowExploder.py:126-158): mode() returns EVERY tied
+    // mode, joined " - ". Polars emits ties in arbitrary order; this
+    // engine pins alphabetical (the only deviation, documented in
+    // SURVEY §7) so the output is deterministic and oracle-checkable.
+    // q_mode_tool above stays as the single-winner variant ---
+    "q_mode_tool_all" -> ((s, dir) => {
+      val counts = turns(s, dir)
+        .filter(col("tool").isNotNull)
+        .groupBy(col("conv_id"), col("tool"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("conv_id"))
+      counts.withColumn("mx", max(col("cnt")).over(w))
+        .filter(col("cnt") === col("mx"))
+        .groupBy(col("conv_id"))
+        .agg(
+          concat_ws(" - ", array_sort(collect_list(col("tool")))).as("mode_tools"),
+          max(col("cnt")).as("mode_cnt"))
+    }),
+
     // --- semi join: conversations that used a given tool family ---
     "q_semi_join" -> ((s, dir) => {
       val t = turns(s, dir)
@@ -837,6 +857,17 @@ object SparkEntry {
           |  FROM turns WHERE tool IS NOT NULL
           |  GROUP BY conv_id, tool)
           |WHERE rn = 1""".stripMargin),
+      "q_mode_tool_all" -> withTurns(
+        """SELECT conv_id,
+          |  array_to_string(list_sort(list(tool)), ' - ') AS mode_tools,
+          |  CAST(max(cnt) AS BIGINT) AS mode_cnt
+          |FROM (
+          |  SELECT conv_id, tool, count(*) AS cnt,
+          |    max(count(*)) OVER (PARTITION BY conv_id) AS mx
+          |  FROM turns WHERE tool IS NOT NULL
+          |  GROUP BY conv_id, tool)
+          |WHERE cnt = mx
+          |GROUP BY conv_id""".stripMargin),
       "q_tree_depth" -> treeDepthOracleSql,
       "q_tree_depth_doubling" -> treeDepthOracleSql,
       "q_semi_join" -> withTurns(
@@ -1039,7 +1070,7 @@ object SparkEntry {
         s"""WITH $logLinesSql,
            |t AS (
            |  SELECT line_id,
-           |    regexp_replace(line, '$logVarPat', '<VAR>', 'g') AS template,
+           |    ${templateSql("line")} AS template,
            |    regexp_extract_all(line, '$logVarPat') AS params
            |  FROM m)
            |SELECT line_id,
@@ -1052,7 +1083,7 @@ object SparkEntry {
         s"""WITH $logLinesSql,
            |t AS (
            |  SELECT line_id,
-           |    regexp_replace(line, '$logVarPat', '<VAR>', 'g') AS template,
+           |    ${templateSql("line")} AS template,
            |    regexp_extract_all(line, '$logVarPat') AS params
            |  FROM m)
            |SELECT ${fingerprintSql("template")} AS event_id,
@@ -1094,6 +1125,16 @@ object SparkEntry {
 
   /** The shared pattern + line fixture the template oracles splice. */
   private def logVarPat: String = graft.functions.LogTemplates.varPattern
+
+  /** DuckDB (RE2) mirror of LogTemplates' escape-then-mask template:
+    * pre-existing `<\*VAR>` tokens gain one backslash, THEN variables
+    * mask to `<VAR>` — RE2 rewrite syntax (`\\` literal, `\1` group)
+    * vs the engine's Java Matcher syntax (`\\$1`), same semantics.
+    */
+  private def templateSql(expr: String): String =
+    "regexp_replace(regexp_replace(" + expr +
+      """, '<(\\*)VAR>', '<\\\1VAR>', 'g'), '""" + logVarPat +
+      """', '<VAR>', 'g')"""
 
   // NOTE: spliced into outer .stripMargin strings — no continuation
   // line here may START with '|' (a leading '||' would lose one pipe

@@ -27,13 +27,26 @@ import org.apache.spark.sql.functions._
   * pattern match inside an earlier replacement and break the
   * params-equals-diff invariant.
   *
-  * Known limit: a line whose CONSTANT text already contains the
-  * literal mask token `<VAR>` cannot be reconstructed from
-  * (template, params) — the template can't distinguish it from a
-  * masked variable. Grouping/counting (the mining use) is unaffected;
-  * only the splice-back inverse is lossy there.
+  * A line whose CONSTANT text already contains the literal mask token
+  * is handled by ESCAPING before masking: every pre-existing
+  * `<\*VAR>` token gains one backslash (`<VAR>` → `<\VAR>`,
+  * `<\VAR>` → `<\\VAR>`, …) — injective over ALL inputs, so a bare
+  * `<VAR>` in a template always denotes a masked variable and
+  * [[reconstruct]] (splice params, strip one backslash) is an exact
+  * inverse of template+params on every line (r3 verdict ask).
   */
 object LogTemplates {
+
+  // escape/unescape of pre-existing mask tokens (Java regex + Matcher
+  // replacement syntax; the DuckDB oracle mirrors them in RE2 syntax)
+  private val escPat = """<(\\*)VAR>"""
+  private val escRep = """<\\$1VAR>"""
+  private val unescPat = """<\\(\\*)VAR>"""
+  private val unescRep = """<$1VAR>"""
+
+  private def escape(text: Column): Column = regexp_replace(text, escPat, escRep)
+  private def unescape(text: Column): Column =
+    regexp_replace(text, unescPat, unescRep)
 
   /** Variable-token classes, priority-ordered (uuid ⊃ hex ⊃ number
     * prefixes — the alternation tries them leftmost-first in both
@@ -48,9 +61,30 @@ object LogTemplates {
 
   val mask: String = "<VAR>"
 
-  /** The line's template: variables masked, constants kept. */
+  /** The line's template: pre-existing mask tokens escaped, then
+    * variables masked, constants kept. The escape never creates or
+    * destroys a [[varPattern]] match (it only inserts a backslash
+    * inside `<…VAR>` tokens, which contain no variable characters),
+    * so params-by-diff is unaffected.
+    */
   def template(text: Column): Column =
-    regexp_replace(text, varPattern, mask)
+    regexp_replace(escape(text), varPattern, mask)
+
+  /** Exact inverse of ([[template]], [[params]]): splice the params
+    * into the template's mask slots in order, then strip one escape
+    * level — returns the original line for EVERY input, including
+    * lines whose constant text contains literal `<VAR>` tokens.
+    * Pure codegen'd projection (split/zip_with/concat).
+    */
+  def reconstruct(template: Column, params: Column): Column = {
+    val segs = split(template, java.util.regex.Pattern.quote(mask), -1)
+    val spliced = concat(
+      element_at(segs, 1),
+      array_join(zip_with(
+        slice(segs, lit(2), greatest(size(segs) - 1, lit(0))), params,
+        (s, p) => concat(p, s)), ""))
+    unescape(spliced)
+  }
 
   /** The variable values, in order of appearance (AEL ParameterList). */
   def params(text: Column): Column =

@@ -58,7 +58,14 @@ object StreamingSessionize {
       endUs: Long,
       lastUs: Long,
       turnCnt: Long,
-      open: Boolean)
+      open: Boolean,
+      // highest turn_idx ever processed — the sentinel that makes
+      // cross-batch out-of-order delivery OBSERVABLE (ADVICE r3): the
+      // gap rule diffs consecutive-by-turn_idx timestamps, so a turn
+      // with a LOWER index arriving in a LATER batch can split/merge
+      // differently from batch; such arrivals are counted into the
+      // caller's accumulator instead of failing silently
+      lastTurnIdx: Long = -1L)
 
   /** Full microsecond precision: getTime alone is millis — the nanos
     * field carries the sub-millisecond part the tier timestamps have.
@@ -75,19 +82,45 @@ object StreamingSessionize {
   private def closedRow(conv: String, st: ConvState): SessionRow =
     SessionRow(conv, st.sessionId, st.turnCnt, usTs(st.startUs), usTs(st.endUs))
 
-  /** The state-transition handler, exposed for direct unit testing. */
-  private[streaming] def handle(gapUs: Long)(
+  /** The state-transition handler, exposed for direct unit testing.
+    *
+    * @param outOfOrder when set, counts turns whose turn_idx is ≤ the
+    *   conversation's highest already-processed index — cross-batch
+    *   out-of-order delivery that the documented turn_idx-monotone
+    *   precondition forbids. The turns are still processed (best
+    *   effort), but parity breaks become an observable metric.
+    * @param evictAfterUs when set, CLOSED state is removed once the
+    *   watermark advances this far past the closure — bounding total
+    *   state for workloads with unbounded conversation churn, at the
+    *   documented price that a conversation resuming AFTER eviction
+    *   restarts session ids from 0 (the default None keeps state
+    *   O(#conversations) and ids continuous forever).
+    */
+  private[streaming] def handle(gapUs: Long,
+      outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None,
+      evictAfterUs: Option[Long] = None)(
       conv: String, turns: Iterator[Turn], state: GroupState[ConvState])
       : Iterator[SessionRow] = {
     if (state.hasTimedOut) {
       // watermark passed session_end + gap: emit the closure but KEEP
-      // the state (open = false, no further timeout) — dropping it
-      // would reset nextSessionId, and a resumed conversation would
-      // re-issue session_id 0, breaking batch parity and keyed sinks.
-      // A post-timeout turn necessarily has ts > watermark > end+gap,
+      // the state (open = false) — dropping it would reset
+      // nextSessionId, and a resumed conversation would re-issue
+      // session_id 0, breaking batch parity and keyed sinks. A
+      // post-timeout turn necessarily has ts > watermark > end+gap,
       // so batch would also have split there: parity is preserved.
+      // With an eviction TTL, a second timeout is armed instead and
+      // its firing (open already false) removes the state for good.
       val out = state.getOption.filter(_.open).map(closedRow(conv, _))
-      state.getOption.foreach(st => state.update(st.copy(open = false)))
+      state.getOption match {
+        case Some(st) if st.open =>
+          state.update(st.copy(open = false))
+          evictAfterUs.foreach { e =>
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + Math.floorDiv(e + 999L, 1000L))
+          }
+        case Some(_) if evictAfterUs.isDefined => state.remove()
+        case _ => ()
+      }
       out.iterator
     } else {
       // event order within the batch: by turn_idx, the conversation's
@@ -97,6 +130,16 @@ object StreamingSessionize {
       val sorted = turns.toSeq.sortBy(_.turn_idx)
       var st = state.getOption.getOrElse(
         ConvState(nextSessionId = 0L, sessionId = -1L, 0L, 0L, 0L, 0L, open = false))
+      // observe (don't silently absorb) turns arriving BELOW the
+      // already-processed index frontier — the precondition batch
+      // parity rests on (see handle's scaladoc)
+      val prevIdx = st.lastTurnIdx
+      if (prevIdx >= 0L) {
+        val late = sorted.count(_.turn_idx.toLong <= prevIdx)
+        if (late > 0) outOfOrder.foreach(_.add(late.toLong))
+      }
+      val maxIdx = sorted.lastOption
+        .map(t => math.max(prevIdx, t.turn_idx.toLong)).getOrElse(prevIdx)
       val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
       sorted.foreach { t =>
         val us = tsUs(t.ts)
@@ -115,7 +158,7 @@ object StreamingSessionize {
             turnCnt = st.turnCnt + 1)
         }
       }
-      state.update(st)
+      state.update(st.copy(lastTurnIdx = maxIdx))
       // close the open session once the watermark passes end + gap.
       // CEILING millis: truncating each term would let the timeout
       // fire up to ~2ms before end+gap, opening a tiny window where a
@@ -132,14 +175,26 @@ object StreamingSessionize {
     * CLOSED session (append mode). `lateness` is the event-time
     * watermark delay; data later than that is dropped by the
     * watermark, the same trade as [[StreamingRollup.windowedRollup]].
+    *
+    * @param outOfOrder optional accumulator (register one via
+    *   `spark.sparkContext.longAccumulator("...")`) counting turns
+    *   that violate the per-conversation turn_idx-monotone delivery
+    *   precondition — visible in the Spark UI / readable per batch,
+    *   so batch-parity breaks are an alarm, not a silent drift.
+    * @param evictAfterUs optional state TTL past session closure —
+    *   bounds total state under unbounded conversation churn; a
+    *   conversation resuming after eviction restarts session ids at 0
+    *   (keep the default None when id continuity matters more).
     */
   def sessions(stream: Dataset[Turn], gapUs: Long = 1800L * 1000000L,
-      lateness: String = "10 minutes"): Dataset[SessionRow] = {
+      lateness: String = "10 minutes",
+      outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None,
+      evictAfterUs: Option[Long] = None): Dataset[SessionRow] = {
     import stream.sparkSession.implicits._
     stream
       .withWatermark("ts", lateness)
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.EventTimeTimeout())(handle(gapUs))
+        GroupStateTimeout.EventTimeTimeout())(handle(gapUs, outOfOrder, evictAfterUs))
   }
 }

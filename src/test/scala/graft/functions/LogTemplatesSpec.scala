@@ -58,6 +58,32 @@ class LogTemplatesSpec extends SparkSuite {
     }
   }
 
+  test("literal <VAR> in constant text: escape makes reconstruct exact") {
+    // the r3-documented lossy case, now closed: bare <VAR> in a
+    // template always means a masked variable; pre-existing tokens
+    // are escaped (one added backslash per level) and restored
+    val tricky = Seq(
+      "tag <VAR> literal with id 42",          // literal mask + real var
+      "already escaped <\\VAR> then 0xff",     // pre-escaped token
+      "<VAR><VAR> back to back 7",             // adjacent literals
+      "plain line no vars",
+      "just 123")
+      .toDF("text")
+    val mined = LogTemplates.mine(tricky, "text")
+    val chk = mined.select($"text",
+        LogTemplates.reconstruct($"template", $"params").as("rebuilt"))
+      .as[(String, String)].collect()
+    chk.foreach { case (text, rebuilt) =>
+      assert(rebuilt == text, s"reconstruct not exact for: $text")
+    }
+    // and the literal tokens never collide with a masked variable:
+    // "tag <VAR> literal with id 42" has exactly ONE param (42)
+    val row = mined.filter($"text".startsWith("tag "))
+      .select($"template", $"params").as[(String, Seq[String])].head()
+    assert(row._1 == "tag <\\VAR> literal with id <VAR>", row._1)
+    assert(row._2 == Seq("42"), row._2.toString)
+  }
+
   test("raw .log file → structured shape (the reference's AEL stage end-to-end)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rawlog-")
     val logFile = dir.resolve("ts-checkout-service.log")
