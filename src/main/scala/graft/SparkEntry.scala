@@ -8,7 +8,7 @@ import graft.compress.ChunkCodec
 import graft.datagen.TranscriptGen
 import graft.functions.{GapFill, TextFunctions}
 import graft.model.Tier
-import graft.operators.{AsOf, Dedup, DynamicPivot, Multimodal, Similarity, TreeDepth}
+import graft.operators.{AsOf, Components, Dedup, DynamicPivot, Multimodal, Similarity, TrainingSet, TreeDepth}
 import graft.rollup.Rollup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -569,7 +569,54 @@ object SparkEntry {
 
     // --- the mined template vocabulary with per-template counts ---
     "q_log_template_counts" -> ((s, dir) =>
-      graft.functions.LogTemplates.templateCounts(logLines(s, dir), "line")))
+      graft.functions.LogTemplates.templateCounts(logLines(s, dir), "line")),
+
+    // --- near-dup CLUSTERS: connected components over the LSH
+    // candidate pairs (the transitive closure pairwise dedup misses),
+    // with cluster size + canonical survivor per component ---
+    "q_neardup_components" -> ((s, dir) => {
+      val docs = dupedDocs(s, dir)
+      val shingles = Dedup.charShingles(docs, "doc_id", "text", 5)
+      val pairs = Dedup.lshCandidates(
+        Dedup.lshBands(Dedup.minHashSignatures(shingles, "doc_id", k = 16),
+          "doc_id", k = 16, bands = 4), "doc_id")
+      Components.withClusterStats(
+        Components.connectedComponents(docs.select("doc_id"), "doc_id", pairs),
+        "doc_id")
+    }),
+
+    // --- stratified sampling: deterministic per-(lang, source) quota
+    // ranked by the MirrorHash of the doc id — mixture control with a
+    // bit-exact DuckDB mirror, zero rand() ---
+    "q_stratified_sample" -> ((s, dir) =>
+      TrainingSet.stratifiedSample(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang", "source"),
+        Seq("lang", "source"), "doc_id", k = 12)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("sample_rank").cast("long").as("sample_rank"))),
+
+    // --- token-budget packing (context-window sharding). The SCALE
+    // path (range-bucketed two-level prefix sum — no one-partition
+    // window) is what runs AND what the one-window oracle checks ---
+    "q_pack_shards" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("tok_cnt"))
+      TrainingSet.packByTokenBudget(docs, Seq("lang"), "doc_id", "tok_cnt",
+          budget = 2000L, bucketWidth = 64L)
+        .select("doc_id", "lang", "tok_cnt", "shard_idx")
+    }),
+
+    // --- benchmark decontamination: train docs sharing a word-5-gram
+    // with the planted eval split (doc_id % 13); dupedDocs plants
+    // contaminated copies (ids % 91 + 1000000) the anti join keeps ---
+    "q_decontaminate" -> ((s, dir) => {
+      val evalDocs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id", "text")
+      val train = dupedDocs(s, dir)
+        .join(evalDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+      TrainingSet.decontaminate(train, evalDocs, "doc_id", "text", n = 5)
+    }))
 
   /** Deterministic raw-log-line fixture: one line per event, digits
     * from user ids and the props payload — shared by the template
@@ -1120,7 +1167,82 @@ object SparkEntry {
            |JOIN sz z2 ON z2.doc_id = p.id2""".stripMargin,
       "q_simhash" -> simhashOracleSql,
       "q_embed_lsh_topk" ->
-        lshTopkOracleSql(dim = 64, planes = 6, rotations = 4, k = 5))
+        lshTopkOracleSql(dim = 64, planes = 6, rotations = 4, k = 5),
+
+      // --- near-dup clustering: the same LSH candidate chain over the
+      // duped corpus, closed transitively by a recursive reachability
+      // CTE (reach(id) = every node with a path to id; min = the
+      // component label the engine's label propagation converges to)
+      "q_neardup_components" ->
+        s"""WITH RECURSIVE duped AS ($dupedDocsSql),
+           |${minhashCandidatesSql(n = 5, k = 16, bands = 4, src = "duped")},
+           |edges AS (
+           |  SELECT id1 AS a, id2 AS b FROM cand
+           |  UNION ALL
+           |  SELECT id2, id1 FROM cand),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM duped
+           |  UNION
+           |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+           |comp AS (
+           |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+           |cs AS (
+           |  SELECT component, count(*) AS cluster_sz FROM comp GROUP BY component)
+           |SELECT c.doc_id, c.component, cs.cluster_sz,
+           |  CAST(CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END AS INT)
+           |    AS is_canonical
+           |FROM comp c JOIN cs ON cs.component = c.component""".stripMargin,
+
+      "q_stratified_sample" -> {
+        import graft.functions.MirrorHash
+        val rank = MirrorHash.affineSql(
+          fingerprintSql("CAST(doc_id AS VARCHAR)"),
+          MirrorHash.a(MirrorHash.SampleSalt, 0),
+          MirrorHash.b(MirrorHash.SampleSalt, 0))
+        s"""SELECT doc_id, lang, source, sample_rank FROM (
+           |  SELECT doc_id, lang, source,
+           |    row_number() OVER (PARTITION BY lang, source
+           |      ORDER BY $rank, doc_id) AS sample_rank
+           |  FROM documents)
+           |WHERE sample_rank <= 12""".stripMargin
+      },
+
+      // one-window reference semantics; the engine runs (and this
+      // thereby hash-checks) the bucketed two-level scale plan
+      "q_pack_shards" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+          |      AS tok_cnt
+          |  FROM documents)
+          |SELECT doc_id, lang, tok_cnt,
+          |  CAST(floor(COALESCE(sum(tok_cnt) OVER (PARTITION BY lang
+          |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |    0) / 2000) AS BIGINT) AS shard_idx
+          |FROM t""".stripMargin,
+
+      "q_decontaminate" ->
+        s"""WITH duped AS ($dupedDocsSql),
+           |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+           |train AS (
+           |  SELECT d.doc_id, d.text FROM duped d
+           |  WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE e.doc_id = d.doc_id)),
+           |tng AS (
+           |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ngram
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+           |        FROM (SELECT doc_id,
+           |                regexp_split_to_array(trim(text), '\\s+') AS t
+           |              FROM train)
+           |        WHERE len(t) >= 5)),
+           |eng AS (
+           |  SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS ngram
+           |  FROM (SELECT t, unnest(generate_series(1, len(t) - 4)) AS i
+           |        FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+           |              FROM ev)
+           |        WHERE len(t) >= 5))
+           |SELECT t.doc_id, count(*) AS n_hits
+           |FROM tng t JOIN eng e ON e.ngram = t.ngram
+           |GROUP BY 1""".stripMargin)
   }
 
   /** The shared pattern + line fixture the template oracles splice. */
@@ -1163,7 +1285,8 @@ object SparkEntry {
     * both sides, generated here from the same splitmix64 stream).
     * Terminal CTE is `cand(id1, id2)`.
     */
-  private def minhashCandidatesSql(n: Int, k: Int, bands: Int): String = {
+  private def minhashCandidatesSql(n: Int, k: Int, bands: Int,
+      src: String = "documents"): String = {
     import graft.functions.MirrorHash
     val minExprs = (0 until k).map { i =>
       val aa = MirrorHash.a(MirrorHash.MinHashSalt, i)
@@ -1180,7 +1303,7 @@ object SparkEntry {
        |  SELECT DISTINCT doc_id, substr(text, i, $n) AS shingle
        |  FROM (SELECT doc_id, text,
        |          unnest(generate_series(1, greatest(length(text) - ${n - 1}, 1))) AS i
-       |        FROM documents)),
+       |        FROM $src)),
        |fp AS (
        |  SELECT doc_id, ${fingerprintSql("shingle")} AS fp FROM sh),
        |sig AS (

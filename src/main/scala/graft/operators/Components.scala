@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected candidate-pair table — the
+  * clustering stage a training-data dedup pipeline runs AFTER pair
+  * generation ([[Dedup.lshCandidates]] / [[graft.operators.Similarity]]):
+  * near-dup pairs are edges, and the unit of deduplication is the
+  * component (keep one canonical document per cluster), not the pair.
+  * The reference stops at pairwise `unique`
+  * (/root/reference/jaeger_prometheus_joining/transformationscripts/
+  * FileConcat.py:22); transitive duplicate chains (A≈B, B≈C, A̸≈C)
+  * need the closure, which is exactly a connected-components pass.
+  *
+  * Implementation: iterative min-label propagation with pointer
+  * jumping, pure DataFrame algebra (same discipline as
+  * [[TreeDepth]]):
+  *
+  *  - each round relaxes every edge (label ← min(label, neighbor
+  *    labels)) — one equi-join + one map-side-combined min aggregate,
+  *    shuffle keyed on node id;
+  *  - then pointer-jumps (label ← label(label)) — a second equi-join
+  *    that halves label-chain length, so rounds are O(log diameter),
+  *    not O(diameter): a 64-link duplicate chain resolves in ~6
+  *    rounds (spec-pinned);
+  *  - every round is `localCheckpoint`ed: lineage and codegen stay
+  *    O(1) per round (swap in `checkpoint()` against a reliable store
+  *    on a real cluster);
+  *  - labels only decrease and are bounded below by the component
+  *    min, so the changed-row count reaching 0 IS convergence — the
+  *    loop needs no structural cycle handling (cycles are fine:
+  *    components are defined on the undirected graph).
+  *
+  * At 100 TB the dominant cost is the per-round edge join; edges come
+  * from LSH banding, so |edges| ≈ near-dup pairs (orders of magnitude
+  * below n²), and hot components (a viral boilerplate text with 10⁶
+  * copies) collapse toward their min label after the first jump round
+  * rather than ping-ponging labels across the cluster.
+  */
+object Components {
+
+  /** (id, component) for every id in `ids` — `component` is the
+    * minimum id reachable over the undirected `pairs` graph;
+    * singletons (no incident pair) map to themselves.
+    *
+    * @param ids   one row per node (ids not present in any pair are
+    *              kept as singleton components)
+    * @param pairs undirected edges as (id1, id2) columns
+    */
+  def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    // contract: `ids` is the node universe — pairs mentioning an id
+    // outside it contribute nothing. Enforced ONCE here (the relax
+    // union would otherwise grow phantom label rows); the per-round
+    // loop then never needs to re-screen.
+    val universe = ids.select(col(idCol).as("_u"))
+    val edges = pairs
+      .select(col("id1").as("_a"), col("id2").as("_b"))
+      .unionByName(pairs.select(col("id2").as("_a"), col("id1").as("_b")))
+      .join(universe.withColumnRenamed("_u", "_a"), Seq("_a"), "left_semi")
+      .join(universe.withColumnRenamed("_u", "_b"), Seq("_b"), "left_semi")
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labelType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
+      var labels = ids.select(col(idCol).as("_id"), col(idCol).as("_comp"))
+        .localCheckpoint()
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        // edge relax as ONE grouped min over (self label ∪ neighbor
+        // labels) — the union needs no second join back onto labels,
+        // and the old label rides along (max ignores the neighbor
+        // rows' nulls; each _id has exactly one self row)
+        val nbr = edges
+          .join(labels.select(col("_id").as("_b"), col("_comp").as("_nc")), Seq("_b"))
+          .select(col("_a").as("_id"), col("_nc").as("_cand"),
+            lit(null).cast(labelType).as("_old"))
+        val relaxed = labels
+          .select(col("_id"), col("_comp").as("_cand"), col("_comp").as("_old"))
+          .unionByName(nbr)
+          .groupBy(col("_id"))
+          .agg(min(col("_cand")).as("_tmp"), max(col("_old")).as("_old"))
+          .localCheckpoint() // feeds BOTH jump sides — never recomputed
+        // pointer jump: label ← label(label). Every label value is
+        // itself a node id with exactly one relaxed row, so the inner
+        // equi-join is 1:1 and row-preserving.
+        val lookup = relaxed.select(col("_id").as("_tmp"), col("_tmp").as("_cc"))
+        val jumped = relaxed
+          .join(lookup, Seq("_tmp"))
+          .select(col("_id"), col("_cc").as("_comp"), col("_old"))
+          .localCheckpoint()
+        // one counting action per round, on the checkpointed result
+        changed = jumped.filter(col("_comp") =!= col("_old")).count()
+        labels = jumped.select(col("_id"), col("_comp"))
+        i += 1
+      }
+      require(changed == 0L,
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(pointer jumping bounds rounds by log2(diameter); raise maxIter)")
+      labels.select(col("_id").as(idCol), col("_comp").as("component"))
+    } finally edges.unpersist()
+  }
+
+  /** Component bookkeeping a dedup pipeline keys decisions on:
+    * cluster size and the canonical flag (the member that IS the
+    * component min survives; the rest are the near-duplicate drop
+    * set). Integral/int columns so the output hash-checks against a
+    * SQL oracle.
+    */
+  def withClusterStats(components: DataFrame, idCol: String): DataFrame = {
+    val sizes = components.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_sz"))
+    components.join(sizes, Seq("component"))
+      .select(col(idCol), col("component"), col("cluster_sz"),
+        when(col(idCol) === col("component"), 1).otherwise(0).as("is_canonical"))
+  }
+}

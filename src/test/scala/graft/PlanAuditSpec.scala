@@ -162,6 +162,30 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_decontaminate broadcasts the eval n-gram set and joins on the n-gram key") {
+    val p = plan("q_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination degraded to an all-pairs join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval n-gram set not broadcast (hint lost under the distinct?):\n$p")
+  }
+
+  test("q_pack_shards keeps the range-bucketed two-level prefix sum (no group-wide data-path window)") {
+    val p = plan("q_pack_shards")
+    // the intra-bucket window must partition by the bucket column —
+    // losing _bkt collapses each group into one window partition
+    assert(p.contains("_bkt"), s"scale path lost the range bucketing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_neardup_components assembles via equi joins only") {
+    // building the plan runs the propagation rounds (one count per
+    // round) — sf0.001 converges in a handful of rounds
+    val p = plan("q_neardup_components")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"components assembly has an all-pairs join:\n$p")
+  }
+
   test("tier reads through ChronoTable push filters to parquet") {
     import org.apache.spark.sql.functions._
     val wh = java.nio.file.Files.createTempDirectory("graft-audit-").toString

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class ComponentsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def comps(ids: Seq[Long], pairs: Seq[(Long, Long)],
+      maxIter: Int = 50): Map[Long, Long] = {
+    val idsDf = ids.toDF("doc_id")
+    val pairsDf = pairs.toDF("id1", "id2")
+    Components.connectedComponents(idsDf, "doc_id", pairsDf, maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two clusters, a singleton, and a transitive chain") {
+    // {1,2,3} via chain 1-2, 2-3 (1≈2, 2≈3, but no 1-3 pair: the
+    // closure is exactly what pairwise dedup misses); {10,11}; {20}
+    val out = comps(Seq(1L, 2L, 3L, 10L, 11L, 20L),
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("cycles and reversed/duplicated pairs are harmless") {
+    val out = comps(Seq(1L, 2L, 3L, 4L),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 2L), (3L, 4L)))
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("64-link chain converges within pointer-jump round budget") {
+    // worst-case diameter: a path 0-1-...-64. Pure edge relaxation
+    // needs 64 rounds; relax+jump needs ~log2(64). maxIter=10 proves
+    // the jump is doing its job.
+    val ids = (0L to 64L)
+    val pairs = (0L until 64L).map(i => (i, i + 1))
+    val out = comps(ids, pairs, maxIter = 10)
+    assert(out.values.toSet === Set(0L))
+    assert(out.size === 65)
+  }
+
+  test("non-convergence past maxIter fails loudly, never silently") {
+    val ids = (0L to 64L)
+    val pairs = (0L until 64L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException] {
+      comps(ids, pairs, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("withClusterStats: sizes and canonical flags") {
+    val components = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L))
+      .toDF("doc_id", "component")
+    val out = Components.withClusterStats(components, "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 3L, 1), (2L, 1L, 3L, 0), (3L, 1L, 3L, 0), (10L, 10L, 1L, 1)))
+  }
+
+  test("ids absent from every pair stay singletons; pair ids missing from ids are ignored") {
+    // contract: `ids` is the node universe — a pair mentioning an id
+    // outside it contributes no node rows
+    val out = comps(Seq(1L, 2L, 5L), Seq((1L, 2L), (2L, 99L)))
+    assert(out.keySet === Set(1L, 2L, 5L))
+    assert(out(1L) === 1L && out(2L) === 1L && out(5L) === 5L)
+  }
+}
