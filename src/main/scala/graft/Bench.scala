@@ -56,7 +56,15 @@ object Bench {
             .replaceAll("""[\\"\n\r\t]""", " ")
           false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // untimed: release cached/localCheckpointed blocks the finished
+      // query left behind — iterative operators checkpoint per round,
+      // and leaked blocks steal execution memory from LATER queries
+      // (measured: the 10x ScaleSpot pass distorted ~5x without this)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      name -> t
     }
 
     // headline: rolled-up turns/sec across the cascade (write-path

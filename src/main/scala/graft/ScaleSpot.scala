@@ -26,14 +26,36 @@ object ScaleSpot {
   private val headline = Seq(
     "q_rollup_1m", "q_rollup_1h", "q_rollup_1d", "q_rollup_cascade_1d",
     "q_rollup_30s", "q_align_join", "q_gapfill_1h", "q_cumulative_1d",
-    "q_sessionize", "q_window_lag", "q_tree_depth_doubling",
+    "q_sessionize", "q_window_lag", "q_tree_depth", "q_tree_depth_doubling",
     "q_head_per_conv", "q_chunk_roundtrip", "q_dedup_exact",
     "q_semi_join", "q_anti_join", "q_mode_tool",
     "q_text_stats", "q_lang_id", "q_tokenize", "q_log_templates",
     "q_minhash_lsh", "q_ngram_jaccard_lsh", "q_simhash",
     "q_neardup_components", "q_stratified_sample", "q_pack_shards",
     "q_decontaminate",
-    "q_embed_lsh_topk", "q_embed_ivf_topk", "q_embed_neardup_lsh")
+    "q_embed_lsh_topk", "q_embed_ivf_topk", "q_embed_neardup_lsh",
+    "q_embed_lsh_topk_auto", "q_embed_ivf_topk_auto", "q_embed_neardup_lsh_auto")
+
+  /** The ANN scale path proper: parameters sized from the corpus
+    * ([[graft.operators.Similarity.autoPlanes]]/`autoNlist`), keeping
+    * per-query candidate work ~constant as n grows. The pinned-
+    * parameter queries above stay measured as the documented contrast
+    * (their plane literals are what the DuckDB oracle mirrors; their
+    * cost is O(n²/2^planes) BY CONSTRUCTION).
+    */
+  private val extra: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.operators.Similarity
+    def emb(s: SparkSession, dir: String): DataFrame =
+      s.read.parquet(s"$dir/embeddings.parquet")
+    Map(
+      "q_embed_lsh_topk_auto" -> ((s, dir) =>
+        Similarity.lshTopKAuto(emb(s, dir), "vec_id", "embedding", k = 5)),
+      "q_embed_ivf_topk_auto" -> ((s, dir) =>
+        Similarity.ivfTopKAuto(emb(s, dir), "vec_id", "embedding", k = 5)),
+      "q_embed_neardup_lsh_auto" -> ((s, dir) =>
+        Similarity.cosineNearDup(emb(s, dir), "vec_id", "embedding",
+          Similarity.lshPairsAuto(emb(s, dir), "vec_id", "embedding"), 0.95)))
+  }
 
   private def replicate(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
@@ -41,10 +63,15 @@ object ScaleSpot {
       (0 until factor).map(f(df)).reduce(_ unionByName _)
 
     // events: shift user_id (new conversations) and event_id (keeps
-    // id-derived tool assignment distributions identical per copy)
+    // id-derived tool assignment distributions identical per copy).
+    // CAUTION: fromEvents derives conv_id with lpad(user_id, 6, '0'),
+    // which TRUNCATES ids past 6 digits — a wider stride silently
+    // merges ~100 users per conversation and fabricates quadratic
+    // "regressions" in every per-conversation join (found the hard
+    // way: tree-depth at "51x"). Keep shifted ids under 10^6.
     copies(spark.read.parquet(s"$src/events.parquet"), ev => i =>
-      ev.withColumn("user_id", col("user_id") + lit(i * 10000000L))
-        .withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+      ev.withColumn("user_id", col("user_id") + lit(i * 10000L))
+        .withColumn("event_id", col("event_id") + lit(i * 1000000L)))
       .repartition(64)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
@@ -59,17 +86,32 @@ object ScaleSpot {
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }
 
+  /** Optional comma-separated subset for iterating on one query. */
+  private def selected: Seq[String] =
+    sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(s) if s.trim.nonEmpty => headline.filter(s.split(',').map(_.trim).toSet)
+      case _ => headline
+    }
+
   private def timeAll(spark: SparkSession, dir: String): Map[String, Double] = {
     // untimed warm-up (same hygiene as Bench)
     try {
       spark.read.parquet(s"$dir/events.parquet")
         .groupBy(col("event_type")).count().count()
     } catch { case _: Throwable => () }
-    headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
+    selected.flatMap { name =>
+      SparkEntry.queries.get(name).orElse(extra.get(name)).map { fn =>
         val t0 = System.nanoTime()
         fn(spark, dir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // untimed: drop blocks the finished query cached/checkpointed,
+        // so query N+1 (and the whole 10x pass) never pays for query
+        // N's leftovers — without this the second pass runs against
+        // GBs of leaked cache and reports phantom superlinearity
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+        name -> t
       }
     }.toMap
   }
@@ -86,12 +128,16 @@ object ScaleSpot {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val big = Files.createTempDirectory("graft-scalespot-").toString
-    replicate(spark, sfDir, big, factor)
+    // reusable big dir (env) so iterating on one slow query does not
+    // pay the replication write each run
+    val big = sys.env.getOrElse("SPARK_GRAFT_BIG_DIR",
+      Files.createTempDirectory("graft-scalespot-").toString)
+    if (!Files.exists(java.nio.file.Paths.get(s"$big/events.parquet")))
+      replicate(spark, sfDir, big, factor)
 
     val t1 = timeAll(spark, sfDir)
     val tN = timeAll(spark, big)
-    val entries = headline.filter(t1.contains).map { q =>
+    val entries = selected.filter(t1.contains).map { q =>
       val ratio = tN(q) / math.max(t1(q), 1e-9)
       f""""$q":{"t1":${t1(q)}%.2f,"t10":${tN(q)}%.2f,"ratio":$ratio%.1f}"""
     }

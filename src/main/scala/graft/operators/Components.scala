@@ -70,6 +70,7 @@ object Components {
       var changed = 1L
       var i = 0
       while (changed > 0 && i < maxIter) {
+        val t0 = System.nanoTime()
         // edge relax as ONE grouped min over (self label ∪ neighbor
         // labels) — the union needs no second join back onto labels,
         // and the old label rides along (max ignores the neighbor
@@ -95,6 +96,8 @@ object Components {
         // one counting action per round, on the checkpointed result
         changed = jumped.filter(col("_comp") =!= col("_old")).count()
         labels = jumped.select(col("_id"), col("_comp"))
+        if (IterDebug.on) IterDebug.log(
+          s"components round=$i changed=$changed secs=${(System.nanoTime() - t0) / 1e9}")
         i += 1
       }
       require(changed == 0L,

@@ -241,11 +241,13 @@ object Similarity {
     * recall < 1 by construction, tuned by nlist/nprobe.
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      trainFraction: Double = 1.0): DataFrame = {
     if (dimOf(embeddings, vecCol).isEmpty)
       return embeddings.limit(0).select(col(idCol).as("qid"),
         lit(0L).as("rank"), col(idCol).as("nid"))
-    val cents = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters)
+    val cents = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters,
+      trainFraction)
     val vecs = embeddings
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
@@ -302,5 +304,59 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
+  }
+
+  // --- parameter auto-scaling -------------------------------------
+  //
+  // A PINNED plane count makes LSH candidate volume grow
+  // O(n² / 2^planes): bucket occupancy is n/2^planes, so a 10x corpus
+  // costs 100x/10 = 10x MORE PER ROW (measured: q_embed_lsh_topk 56x
+  // wall at a 10x corpus). The pinned-parameter queries stay — their
+  // hyperplane literals are what the DuckDB oracle mirrors — but the
+  // scale path is the auto variants below: one count() sizes the
+  // parameter so bucket occupancy (per-query candidate work) stays
+  // ~constant as the corpus grows, making total cost ~linear.
+
+  /** planes with expected bucket occupancy ≈ targetOccupancy:
+    * 2^planes ≈ n / targetOccupancy. Clamped to [4, 24] (24 ⇒ 16M
+    * buckets — past that, occupancy ≈ duplicate clusters anyway).
+    */
+  def autoPlanes(n: Long, targetOccupancy: Int = 256): Int =
+    math.max(4, math.min(24,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt))
+
+  /** IVF list count for ~targetOccupancy vectors per list, clamped to
+    * [16, 128]: centroids are embedded as codegen LITERALS
+    * (assignment needs no join), so very large nlist inflates the
+    * generated method past JIT limits — past the clamp, the right
+    * move is a broadcast centroid ARRAY instead of literals (and a
+    * real cluster's ANN index), documented rather than faked here.
+    */
+  def autoNlist(n: Long, targetOccupancy: Int = 1024): Int =
+    math.max(16, math.min(128,
+      math.ceil(n.toDouble / targetOccupancy).toInt))
+
+  /** [[lshTopK]] with planes sized from the corpus ([[autoPlanes]]). */
+  def lshTopKAuto(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, rotations: Int = 4, targetOccupancy: Int = 256): DataFrame =
+    lshTopK(embeddings, idCol, vecCol, k,
+      autoPlanes(embeddings.count(), targetOccupancy), rotations)
+
+  /** [[lshPairs]] with planes sized from the corpus. */
+  def lshPairsAuto(embeddings: DataFrame, idCol: String, vecCol: String,
+      rotations: Int = 4, targetOccupancy: Int = 256): DataFrame =
+    lshPairs(embeddings, idCol, vecCol,
+      autoPlanes(embeddings.count(), targetOccupancy), rotations)
+
+  /** [[ivfTopK]] with nlist sized from the corpus and training
+    * sampled to ~200 vectors per centroid (Lloyd stats need no more).
+    */
+  def ivfTopKAuto(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val n = math.max(1L, embeddings.count())
+    val nlist = autoNlist(n)
+    val tf = math.min(1.0, 200.0 * nlist / n)
+    ivfTopK(embeddings, idCol, vecCol, k, nlist, nprobe, iters, tf)
   }
 }

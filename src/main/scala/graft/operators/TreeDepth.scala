@@ -108,8 +108,11 @@ object TreeDepth {
     var i = 0
     while (live > 0 && live < prev && i < maxIter) {
       prev = live
+      val t0 = System.nanoTime()
       state = doublingRound(state).localCheckpoint()
       live = state.filter(col("_anc").isNotNull).count()
+      if (IterDebug.on) IterDebug.log(
+        s"doubling round=$i live=$live secs=${(System.nanoTime() - t0) / 1e9}")
       i += 1
     }
     state.filter(col("_anc").isNull)

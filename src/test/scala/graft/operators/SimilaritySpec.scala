@@ -146,4 +146,41 @@ class SimilaritySpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("autoPlanes keeps bucket occupancy ~constant as the corpus grows") {
+    // 2^planes scales with n: +10x corpus → ~+log2(10) planes
+    assert(Similarity.autoPlanes(500L) === 4)              // clamp floor
+    assert(Similarity.autoPlanes(50000L) === 8)            // 50000/256 → 2^8
+    assert(Similarity.autoPlanes(500000L) === 11)
+    assert(Similarity.autoPlanes(5000000L) === 15)
+    assert(Similarity.autoPlanes(Long.MaxValue) === 24)    // clamp ceiling
+    assert(Similarity.autoNlist(1000L) === 16)             // clamp floor
+    assert(Similarity.autoNlist(50000L) === 49)
+    assert(Similarity.autoNlist(10000000L) === 128)        // literal-codegen bound
+  }
+
+  test("auto variants equal the pinned operators at the auto-chosen parameter") {
+    val n = emb.count()
+    val auto = Similarity.lshTopKAuto(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val pinned = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
+        planes = Similarity.autoPlanes(n))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(auto === pinned)
+    val autoPairs = Similarity.lshPairsAuto(emb, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toSet
+    val pinnedPairs = Similarity.lshPairs(emb, "vec_id", "embedding",
+        planes = Similarity.autoPlanes(n))
+      .as[(Long, Long)].collect().toSet
+    assert(autoPairs === pinnedPairs)
+  }
+
+  test("ivfTopKAuto returns dense ranked results on the fixture") {
+    val out = Similarity.ivfTopKAuto(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_._1)
+    assert(byQ.values.forall(rows =>
+      rows.map(_._2).sorted.toSeq == (1L to rows.length)))
+  }
 }
