@@ -149,6 +149,9 @@ object ScalingBench {
          |only core count varies. All runs (s):
          |${levels.map(c => s"local[$c]: " +
              allRuns(c).map(t => f"$t%.1f").mkString(", ")).mkString("; ")}
+         |
+         |Single-level 10x scale spot-check (per-query linearity):
+         |SCALESPOT.md + SCALESPOT_r4{,_ann}.json in this directory.
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)

@@ -520,6 +520,17 @@ object SparkEntry {
         0.95)
     }),
 
+    // --- the AUTO-scaled LSH variant (planes sized from the corpus —
+    // the 100 TB parameterization): identical vectors share every
+    // bucket under ANY plane family, so the planted-copies argument
+    // holds unchanged and this FOURTH variant hash-matches the same
+    // near-dup oracle ---
+    "q_embed_neardup_lsh_auto" -> ((s, dir) => {
+      val dv = dupedVecs(s, dir)
+      Similarity.cosineNearDup(dv, "vec_id", "embedding",
+        Similarity.lshPairsAuto(dv, "vec_id", "embedding"), 0.95)
+    }),
+
     // --- the IVF scale path for the same planted-duplicate fixture:
     // exact copies share every centroid similarity → same inverted
     // list → ivfPairs provably recovers them, so this THIRD variant
@@ -1076,6 +1087,7 @@ object SparkEntry {
           |  FROM pairs) WHERE rank <= 5""".stripMargin,
       "q_embed_neardup" -> neardupOracleSql,
       "q_embed_neardup_lsh" -> neardupOracleSql,
+      "q_embed_neardup_lsh_auto" -> neardupOracleSql,
       "q_embed_neardup_ivf" -> neardupOracleSql,
       "q_multimodal_meta" ->
         """SELECT doc_id,

@@ -178,6 +178,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_stratified_sample plans as per-stratum running top-k (WindowGroupLimit)") {
+    // the rank<=k filter must push into the window as a group limit —
+    // otherwise every stratum fully sorts before the filter
+    val p = plan("q_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window:\n$p")
+  }
+
   test("q_neardup_components assembles via equi joins only") {
     // building the plan runs the propagation rounds (one count per
     // round) — sf0.001 converges in a handful of rounds
