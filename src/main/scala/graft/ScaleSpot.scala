@@ -51,10 +51,11 @@ object ScaleSpot {
       "q_embed_lsh_topk_auto" -> ((s, dir) =>
         Similarity.lshTopKAuto(emb(s, dir), "vec_id", "embedding", k = 5)),
       "q_embed_ivf_topk_auto" -> ((s, dir) =>
-        Similarity.ivfTopKAuto(emb(s, dir), "vec_id", "embedding", k = 5)),
-      "q_embed_neardup_lsh_auto" -> ((s, dir) =>
-        Similarity.cosineNearDup(emb(s, dir), "vec_id", "embedding",
-          Similarity.lshPairsAuto(emb(s, dir), "vec_id", "embedding"), 0.95)))
+        Similarity.ivfTopKAuto(emb(s, dir), "vec_id", "embedding", k = 5)))
+    // q_embed_neardup_lsh_auto is NOT defined here: it is a real
+    // SparkEntry query (hash-checked over the duped-vector fixture),
+    // and SparkEntry.queries resolves FIRST — an entry here would be
+    // dead code that silently diverged from what is measured.
   }
 
   private def replicate(spark: SparkSession, src: String, dst: String,
@@ -102,8 +103,17 @@ object ScaleSpot {
     selected.flatMap { name =>
       SparkEntry.queries.get(name).orElse(extra.get(name)).map { fn =>
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
-        val t = (System.nanoTime() - t0) / 1e9
+        // a query blowing up at 10x (OOM, codegen limit) is a RESULT
+        // this harness exists to record — report it as -1, never
+        // abort a 30-minute two-scale run with nothing written
+        val t = try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              Console.err.println(s"[scalespot] $name failed at $dir: " +
+                e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").take(200))
+              -1.0
+          }
         // untimed: drop blocks the finished query cached/checkpointed,
         // so query N+1 (and the whole 10x pass) never pays for query
         // N's leftovers — without this the second pass runs against
@@ -138,7 +148,8 @@ object ScaleSpot {
     val t1 = timeAll(spark, sfDir)
     val tN = timeAll(spark, big)
     val entries = selected.filter(t1.contains).map { q =>
-      val ratio = tN(q) / math.max(t1(q), 1e-9)
+      // a -1 (failed) side makes the ratio meaningless: propagate -1
+      val ratio = if (t1(q) < 0 || tN(q) < 0) -1.0 else tN(q) / math.max(t1(q), 1e-9)
       f""""$q":{"t1":${t1(q)}%.2f,"t10":${tN(q)}%.2f,"ratio":$ratio%.1f}"""
     }
     println(s"""{"sf_dir":"$sfDir","factor":$factor,"queries":{${entries.mkString(",")}}}""")

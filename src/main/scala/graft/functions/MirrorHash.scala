@@ -29,16 +29,12 @@ object MirrorHash {
   /** Band combiner multiplier (prime, ≈2²⁰: acc·M + mh < 2⁵² < 2⁶²). */
   val BandMult: Long = 1000003L
 
-  /** splitmix64 finalizer — same deterministic stream idea as
-    * [[graft.operators.Similarity]]'s hyperplanes: no RNG state, every
-    * engine and the oracle generator see identical constants.
+  /** splitmix64 finalizer — same deterministic stream as
+    * [[graft.operators.Similarity]]'s hyperplanes, ONE definition
+    * ([[SplitMix]]): no RNG state, every engine and the oracle
+    * generator see identical constants.
     */
-  private def mixed(seed: Long, k: Long): Long = {
-    var h = seed ^ (k * 0x9E3779B97F4A7C15L)
-    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
-    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
-    h ^ (h >>> 31)
-  }
+  private def mixed(seed: Long, k: Long): Long = SplitMix.mix(seed, k)
 
   /** Multiplier of the i-th affine transform: uniform in [1, P−1]. */
   def a(salt: Long, i: Int): Long = Math.floorMod(mixed(salt, 2L * i), P - 1) + 1

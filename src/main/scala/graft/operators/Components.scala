@@ -67,6 +67,9 @@ object Components {
       val labelType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
       var labels = ids.select(col(idCol).as("_id"), col(idCol).as("_comp"))
         .localCheckpoint()
+      // the checkpointed frame BEHIND labels (labels itself becomes a
+      // projection of it after round 1) — what release targets
+      var labelsCp: DataFrame = labels
       var changed = 1L
       var i = 0
       while (changed > 0 && i < maxIter) {
@@ -95,6 +98,13 @@ object Components {
           .localCheckpoint()
         // one counting action per round, on the checkpointed result
         changed = jumped.filter(col("_comp") =!= col("_old")).count()
+        // jumped is materialized: the PREVIOUS round's labels and this
+        // round's relax intermediate are superseded — release their
+        // checkpoint blocks now instead of pinning O(rounds·|V|)
+        // storage on the caller's SparkContext
+        org.apache.spark.sql.GraftShims.releaseCheckpoint(labelsCp)
+        org.apache.spark.sql.GraftShims.releaseCheckpoint(relaxed)
+        labelsCp = jumped
         labels = jumped.select(col("_id"), col("_comp"))
         if (IterDebug.on) IterDebug.log(
           s"components round=$i changed=$changed secs=${(System.nanoTime() - t0) / 1e9}")

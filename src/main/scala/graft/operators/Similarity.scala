@@ -61,14 +61,11 @@ object Similarity {
 
   /** splitmix64 finalizer — deterministic driver-side pseudo-random
     * stream for hyperplane components (no RNG object to ship; every
-    * run of every executor sees the same planes as literals).
+    * run of every executor sees the same planes as literals). Shared
+    * definition: [[graft.functions.SplitMix]].
     */
-  private def mixed(seed: Long, k: Long): Long = {
-    var h = seed ^ (k * 0x9E3779B97F4A7C15L)
-    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
-    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
-    h ^ (h >>> 31)
-  }
+  private def mixed(seed: Long, k: Long): Long =
+    graft.functions.SplitMix.mix(seed, k)
 
   /** One deterministic hyperplane in (-0.5, 0.5)^dim. Computed ONCE
     * driver-side and shipped as a literal array — the plane is a
@@ -181,9 +178,14 @@ object Similarity {
   def trainIvfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3, trainFraction: Double = 1.0): Seq[Array[Double]] = {
     val all = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val vecs = (if (trainFraction < 1.0)
-      all.filter(pmod(xxhash64(col("id")), lit(10000)) < (trainFraction * 10000).toInt)
-    else all).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // threshold on a 1e9 modulus, ceil'd and floored at 1: a coarse
+    // modulus truncates tiny fractions to ZERO rows (ivfTopKAuto asks
+    // for ~200·nlist/n, which underflows 1/10000 granularity at
+    // n > 2e6·nlist — exactly the corpora the auto path exists for)
+    val vecs = (if (trainFraction < 1.0) {
+      val threshold = math.max(1L, math.ceil(trainFraction * 1000000000L).toLong)
+      all.filter(pmod(xxhash64(col("id")), lit(1000000000L)) < threshold)
+    } else all).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cents: Seq[Array[Double]] = vecs
         .withColumn("h", xxhash64(col("id")))

@@ -109,8 +109,15 @@ object TreeDepth {
     while (live > 0 && live < prev && i < maxIter) {
       prev = live
       val t0 = System.nanoTime()
-      state = doublingRound(state).localCheckpoint()
-      live = state.filter(col("_anc").isNotNull).count()
+      val next = doublingRound(state).localCheckpoint()
+      live = next.filter(col("_anc").isNotNull).count()
+      // next is materialized: the superseded state's checkpoint
+      // blocks are dead weight — release them per round instead of
+      // pinning O(rounds·n) storage (unlike [[depths]], whose result
+      // IS the union of every frontier, doubling only ever needs the
+      // latest state)
+      org.apache.spark.sql.GraftShims.releaseCheckpoint(state)
+      state = next
       if (IterDebug.on) IterDebug.log(
         s"doubling round=$i live=$live secs=${(System.nanoTime() - t0) / 1e9}")
       i += 1

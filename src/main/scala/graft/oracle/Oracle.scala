@@ -35,7 +35,16 @@ object Oracle {
       .sortBy(t => (t.conv_id, t.turn_idx))
       .groupBy(t => (t.conv_id, bucketMicros(micros(t.ts), tier)))
       .map { case ((conv, b), ts) =>
-        val lens = ts.map(_.text.length.toLong)
+        // SQL sum/min/max skip nulls — mapping over raw text would
+        // NPE on exactly the null-text turns text_cnt exists to
+        // count. An ALL-null bucket has SQL-NULL text_len_* values,
+        // which TierRow's Long fields cannot represent: fail loudly
+        // (the engine's typed Dataset[TierRow] read would equally
+        // refuse it) instead of fabricating a number.
+        val lens = ts.collect { case t if t.text != null => t.text.length.toLong }
+        require(lens.nonEmpty,
+          s"bucket ($conv, $b) has only null text: text_len_* are SQL NULL, " +
+            "outside TierRow's Long domain")
         TierRow(
           conv_id = conv,
           bucket_ts = toTs(b),

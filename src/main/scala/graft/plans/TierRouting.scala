@@ -370,12 +370,16 @@ object TierRouting {
         // is the NON-NULL count partial — raw Average divides by the
         // non-null count, so turn_cnt would silently overcount on any
         // table with null text (ADVICE r3). Cast to double on both
-        // sides mirrors Average.evaluateExpression; all-null groups
-        // give null/0 → null, exactly Average's result.
+        // sides AND divide in LEGACY mode, both mirroring
+        // Average.evaluateExpression: an all-null group gives 0/0 →
+        // null. A session-default (ANSI) Divide would instead THROW
+        // DIVIDE_BY_ZERO exactly where the unrouted query returns
+        // null — the routed plan must never widen the error surface.
         case Average(e, _) if rawText(e) =>
           Some(Divide(
             Cast(Sum(tierCol("text_len_sum")).toAggregateExpression(), DoubleType),
-            Cast(Sum(tierCol("text_cnt")).toAggregateExpression(), DoubleType)))
+            Cast(Sum(tierCol("text_cnt")).toAggregateExpression(), DoubleType),
+            EvalMode.LEGACY))
         case _ => None
       }
     }

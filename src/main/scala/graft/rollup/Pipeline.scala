@@ -75,10 +75,13 @@ final class TranscriptStore(
     val deduped = if (!dedupe) base else {
       // tiebreak: duplicate keys with EQUAL ts but different payloads
       // must keep a deterministic survivor across runs/partitionings —
-      // a hash over the payload columns pins one (ADVICE r3)
+      // a hash over the payload columns pins one (ADVICE r3). xxhash64,
+      // not 32-bit murmur3: at trillions of tied duplicate groups a
+      // 32-bit tiebreak collides (birthday bound ~77k groups), and a
+      // collision re-opens the exact nondeterminism this pins shut.
       val inBatch = graft.operators.Dedup.exactKeepFirst(
         base, Seq("conv_id", "turn_idx"), "ts",
-        hash(col("role"), col("text"), col("tool")))
+        xxhash64(col("role"), col("text"), col("tool")))
       if (raw.currentSnapshotId == 0L) inBatch else {
         val days = inBatch.select(date_format(col("ts"), "yyyy-MM-dd"))
           .distinct().collect().map(_.getString(0)).toSet

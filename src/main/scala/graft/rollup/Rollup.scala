@@ -171,10 +171,13 @@ object Rollup {
         if (!nearest) t0
         else {
           val t1 = monthStart(floored + lit(perBucket))
-          // 2·ts ≥ t0 + t1 ⟺ ts − t0 ≥ t1 − ts (no division, ties up);
-          // |2·us| < 2⁶³ for any timestamp Spark can represent
+          // ts − t0 ≥ t1 − ts (no division, ties round UP). Kept in
+          // difference form: unix_micros spans nearly the full Long
+          // range, so the doubled form 2·us overflows for far-future
+          // timestamps (ANSI: runtime ARITHMETIC_OVERFLOW); each
+          // difference is bounded by one bucket span and never can.
           val us = unix_micros(ts)
-          when(us * 2 >= unix_micros(t0) + unix_micros(t1), t1).otherwise(t0)
+          when(us - unix_micros(t0) >= unix_micros(t1) - us, t1).otherwise(t0)
         }
       case _ =>
         val w = parseWidthUs(spec)

@@ -10,4 +10,23 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The cached RDD behind a `localCheckpoint()`ed Dataset (its plan
+    * is a LogicalRDD over the persisted blocks). Iterative operators
+    * use this to release a SUPERSEDED round's blocks as soon as the
+    * next round is materialized — without it, a k-round loop pins
+    * O(k·|state|) storage until SparkContext death, and that leak is
+    * the caller's memory, not the operator's. Returns None for plans
+    * that are not checkpoint scans (never unpersist what you did not
+    * checkpoint).
+    */
+  def checkpointedRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
+  /** Unpersist the checkpoint blocks behind `df` (no-op otherwise). */
+  def releaseCheckpoint(df: Dataset[_]): Unit =
+    checkpointedRdd(df).foreach(_.unpersist(blocking = false))
 }

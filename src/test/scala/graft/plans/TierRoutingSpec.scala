@@ -381,6 +381,35 @@ class TierRoutingSpec extends SparkSuite {
     assert(q.as[(String, java.sql.Timestamp, Double)].collect().toSet == expected)
   }
 
+  test("routed avg over an ALL-null-text bucket is null, never DIVIDE_BY_ZERO (ANSI)") {
+    // Sum(text_cnt) = 0 there: the rewrite must divide in LEGACY mode
+    // (mirroring Average) — a session-default ANSI Divide would throw
+    // exactly where the unrouted plan returns null
+    val base = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val rows = (0 until 20).map { i =>
+      val conv = "c" + (i % 2)
+      val text: String = if (i % 2 == 0) null else "y" * (10 + i % 3)
+      (conv, i / 2, "user", text, null: String,
+        new java.sql.Timestamp(base.getTime + i * 60000L))
+    }
+    val turns = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val (rawDir, _, _) = mkStore(turns, publish = true)
+    def q = spark.read.parquet(rawDir)
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(avg(length($"text")).as("avg_len"))
+    assert(scannedPaths(q).exists(_.contains("serve/tier_1h")),
+      q.queryExecution.optimizedPlan.toString)
+    val routed = q.collect().map(r =>
+      (r.getString(0), Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    val raw = turns
+      .groupBy($"conv_id", TierRouting.tierBucket($"ts", Tier.Hour).as("bucket_ts"))
+      .agg(avg(length($"text")).as("avg_len"))
+      .collect().map(r =>
+        (r.getString(0), Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(routed == raw)
+    assert(routed.exists(_._2.isEmpty), "fixture lost its all-null bucket")
+  }
+
   test("a column ALIASED as ts/conv_id must not route (exprId binding)") {
     val turns = TranscriptGen.generate(spark, 8, 20, seed = 85L).toDF()
     val (rawDir, _, _) = mkStore(turns, publish = true)
