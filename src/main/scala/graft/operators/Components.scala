@@ -56,12 +56,17 @@ object Components {
     // union would otherwise grow phantom label rows); the per-round
     // loop then never needs to re-screen.
     val universe = ids.select(col(idCol).as("_u"))
+    // repartition on _b BEFORE persist: every round equi-joins labels
+    // on _b, and caching an already-hash-partitioned table lets each
+    // round's join reuse the stored partitioning instead of paying a
+    // fresh exchange of the (largest) edge side per round
     val edges = pairs
       .select(col("id1").as("_a"), col("id2").as("_b"))
       .unionByName(pairs.select(col("id2").as("_a"), col("id1").as("_b")))
       .join(universe.withColumnRenamed("_u", "_a"), Seq("_a"), "left_semi")
       .join(universe.withColumnRenamed("_u", "_b"), Seq("_b"), "left_semi")
       .distinct()
+      .repartition(col("_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val labelType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
