@@ -28,6 +28,7 @@ object ScaleSpot {
     "q_rollup_30s", "q_align_join", "q_gapfill_1h", "q_cumulative_1d",
     "q_sessionize", "q_window_lag", "q_tree_depth", "q_tree_depth_doubling",
     "q_head_per_conv", "q_chunk_roundtrip", "q_dedup_exact",
+    "q_counter_rate", "q_rolling_actives_7d",
     "q_semi_join", "q_anti_join", "q_mode_tool",
     "q_text_stats", "q_lang_id", "q_tokenize", "q_log_templates",
     "q_minhash_lsh", "q_ngram_jaccard_lsh", "q_simhash",

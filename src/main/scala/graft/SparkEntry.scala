@@ -618,6 +618,22 @@ object SparkEntry {
         .select("doc_id", "lang", "tok_cnt", "shard_idx")
     }),
 
+    // --- PromQL-shaped counter rate over the events value column:
+    // per-user series, reset rule (sample below predecessor restarts
+    // the counter), fixed-point outputs ---
+    "q_counter_rate" -> ((s, dir) =>
+      graft.functions.SeriesFunctions.counterRate(
+        s.read.parquet(s"$dir/events.parquet")
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", Seq("event_id"))
+        .select("event_id", "user_id", "increase_millis", "rate_millis")),
+
+    // --- rolling 7-day distinct active conversations (retention
+    // family; exact, single shuffle on the report day) ---
+    "q_rolling_actives_7d" -> ((s, dir) =>
+      graft.functions.SeriesFunctions.rollingDistinctActives(
+        turns(s, dir), "ts", "conv_id", windowDays = 7)),
+
     // --- benchmark decontamination: train docs sharing a word-5-gram
     // with the planted eval split (doc_id % 13); dupedDocs plants
     // contaminated copies (ids % 91 + 1000000) the anti join keeps ---
@@ -1218,6 +1234,36 @@ object SparkEntry {
            |  FROM documents)
            |WHERE sample_rank <= 12""".stripMargin
       },
+
+      "q_counter_rate" ->
+        """WITH w AS (
+          |  SELECT event_id, user_id, value,
+          |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+          |    epoch_us(ts) - lag(epoch_us(ts))
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dus
+          |  FROM events),
+          |c AS (
+          |  SELECT event_id, user_id,
+          |    CASE WHEN pv IS NULL THEN NULL
+          |         WHEN value < pv THEN value
+          |         ELSE value - pv END AS inc,
+          |    CAST(dus AS DOUBLE) / 1000000.0 AS secs
+          |  FROM w)
+          |SELECT event_id, user_id,
+          |  CAST(floor(inc * 1000.0) AS BIGINT) AS increase_millis,
+          |  CASE WHEN secs > 0
+          |    THEN CAST(floor(inc * 1000.0 / secs) AS BIGINT) END AS rate_millis
+          |FROM c""".stripMargin,
+
+      "q_rolling_actives_7d" -> withTurns(
+        """SELECT v.day, count(DISTINCT v.conv_id) AS active_7d
+          |FROM (SELECT conv_id, d + CAST(i AS INTEGER) AS day
+          |      FROM (SELECT conv_id, d, unnest(generate_series(0, 6)) AS i
+          |            FROM (SELECT DISTINCT CAST(ts AS DATE) AS d, conv_id
+          |                  FROM turns))) v
+          |JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day FROM turns) o
+          |  ON o.day = v.day
+          |GROUP BY 1""".stripMargin),
 
       // one-window reference semantics; the engine runs (and this
       // thereby hash-checks) the bucketed two-level scale plan

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-series derivative operators — the PromQL-shaped half of a
+  * time-series engine the rollup tiers don't cover: counter
+  * increase/rate with reset handling, and rolling-window distinct
+  * actives. The reference consumes Prometheus counters but only
+  * aligns raw samples (/root/reference/jaeger_prometheus_joining/
+  * transformationscripts/MetricsParser.py:115-122); `rate()` is the
+  * canonical query over such feeds, so the engine provides it.
+  *
+  * Scale/shape notes: both operators are single-shuffle plans — the
+  * lag window shuffles on the series key, the rolling distinct on
+  * the day — with no self-joins on data volume. Outputs are integral
+  * (floor·1000 fixed-point) so they hash-compare against a SQL
+  * oracle bit-exactly.
+  */
+object SeriesFunctions {
+
+  /** Counter increase and rate per series, Prometheus reset rule:
+    * a sample BELOW its predecessor means the counter restarted, and
+    * the increase since the reset is the sample value itself (the
+    * pre-reset remainder is unobservable). First sample per series,
+    * and zero/negative time deltas, yield null (no interval).
+    *
+    * Emits fixed-point columns: `increase_millis` = floor(1000·Δv),
+    * `rate_millis` = floor(1000·Δv/Δt_seconds).
+    *
+    * @param orderCols ordering WITHIN the (ts-first) series walk —
+    *        pass a unique tiebreak (e.g. an id column) so lag() is
+    *        deterministic under equal timestamps
+    */
+  def counterRate(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((tsCol +: orderCols).map(col): _*)
+    // cast: sources may carry TIMESTAMP_NTZ (driver parquet does) and
+    // unix_micros accepts only TIMESTAMP; session TZ is pinned UTC so
+    // the cast is value-stable (same pattern as Rollup.bucketWidth)
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val prevV = lag(col(valCol), 1).over(w)
+    val prevUs = lag(us, 1).over(w)
+    val secs = (us - prevUs).cast("double") / lit(1e6)
+    val increase = when(prevV.isNull, lit(null).cast("double"))
+      .when(col(valCol) < prevV, col(valCol)) // reset: restart from 0
+      .otherwise(col(valCol) - prevV)
+    df.withColumn("increase_millis",
+        floor(increase * lit(1000.0)).cast("long"))
+      .withColumn("rate_millis",
+        when(secs > 0, floor(increase * lit(1000.0) / secs).cast("long"))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  /** Distinct actives per day over a trailing `windowDays` window
+    * (retention-style "rolling 7-day actives"). Exact, not sketched:
+    * (day, id) pairs are dedup'd once, then each pair votes for the
+    * `windowDays` report days it falls into — a generator explode,
+    * shuffle keyed on the report day, one distinct count per day.
+    * Report days with no activity of their own still appear if the
+    * trailing window reaches them ONLY when some day in range exists;
+    * days past the last observed day are dropped (semi join against
+    * observed days) so the output range is data-defined on both the
+    * engine and the oracle side.
+    */
+  def rollingDistinctActives(df: DataFrame, tsCol: String, idCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val dayId = df
+      .select(to_date(col(tsCol)).as("_d"), col(idCol).as("_id"))
+      .distinct()
+    val observed = dayId.select(col("_d").as("day")).distinct()
+    dayId
+      .select(col("_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("_off"), col("_d"))
+      .select(col("_id"), date_add(col("_d"), col("_off")).as("day"))
+      .join(observed, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("_id")).as(s"active_${windowDays}d"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import java.sql.Timestamp
+
+import graft.SparkSuite
+
+class SeriesFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("counterRate: increase, rate, and the Prometheus reset rule") {
+    val df = Seq(
+      ("m1", ts("2024-01-01 00:00:00"), 100.0, 1L),
+      ("m1", ts("2024-01-01 00:00:10"), 160.0, 2L), // +60 over 10 s
+      ("m1", ts("2024-01-01 00:00:30"), 40.0, 3L),  // reset: increase = 40
+      ("m1", ts("2024-01-01 00:00:40"), 40.5, 4L),  // +0.5 over 10 s
+      ("m2", ts("2024-01-01 00:00:00"), 7.0, 5L)    // lone sample: nulls
+    ).toDF("series", "ts", "value", "sample_id")
+    val out = SeriesFunctions
+      .counterRate(df, "series", "ts", "value", Seq("sample_id"))
+      .select("sample_id", "increase_millis", "rate_millis")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, None, None),
+      (2L, Some(60000L), Some(6000L)),
+      (3L, Some(40000L), Some(2000L)),
+      (4L, Some(500L), Some(50L)),
+      (5L, None, None)))
+  }
+
+  test("counterRate: zero time delta yields null rate but keeps the increase") {
+    val df = Seq(
+      ("m", ts("2024-01-01 00:00:00"), 1.0, 1L),
+      ("m", ts("2024-01-01 00:00:00"), 3.0, 2L)
+    ).toDF("series", "ts", "value", "sample_id")
+    val out = SeriesFunctions
+      .counterRate(df, "series", "ts", "value", Seq("sample_id"))
+      .filter($"sample_id" === 2L)
+      .select("increase_millis", "rate_millis").collect().head
+    assert(out.getLong(0) === 2000L)
+    assert(out.isNullAt(1))
+  }
+
+  test("rollingDistinctActives: trailing window, gap days, end-of-range cutoff") {
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), "a"),
+      (ts("2024-01-01 11:00:00"), "a"), // same (day, id): dedup'd
+      (ts("2024-01-01 12:00:00"), "b"),
+      (ts("2024-01-03 09:00:00"), "a") // Jan 2 has no activity of its own
+    ).toDF("ts", "conv_id")
+    val out = SeriesFunctions.rollingDistinctActives(df, "ts", "conv_id", 3)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    // Jan 1 window = {Jan 1} → {a,b}; Jan 3 window = {Jan 1..3} → {a,b};
+    // Jan 2 is not an OBSERVED day → dropped; Jan 4/5 past range → dropped
+    assert(out === Map("2024-01-01" -> 2L, "2024-01-03" -> 2L))
+  }
+
+  test("rollingDistinctActives: windowDays=1 equals plain daily distinct") {
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), "a"),
+      (ts("2024-01-01 12:00:00"), "b"),
+      (ts("2024-01-02 10:00:00"), "b")
+    ).toDF("ts", "conv_id")
+    val out = SeriesFunctions.rollingDistinctActives(df, "ts", "conv_id", 1)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(out === Map("2024-01-01" -> 2L, "2024-01-02" -> 1L))
+  }
+}
