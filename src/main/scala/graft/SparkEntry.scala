@@ -634,6 +634,15 @@ object SparkEntry {
       graft.functions.SeriesFunctions.rollingDistinctActives(
         turns(s, dir), "ts", "conv_id", windowDays = 7)),
 
+    // --- point-select downsampling for serving (max-deviation
+    // survivor per (user, hour); fixed-point → exact tie order) ---
+    "q_downsample_1h" -> ((s, dir) =>
+      graft.functions.SeriesFunctions.downsampleMaxDev(
+        s.read.parquet(s"$dir/events.parquet")
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", "1h", Seq("event_id"))
+        .select("user_id", "bucket_ts", "event_id", "v_milli")),
+
     // --- benchmark decontamination: train docs sharing a word-5-gram
     // with the planted eval split (doc_id % 13); dupedDocs plants
     // contaminated copies (ids % 91 + 1000000) the anti join keeps ---
@@ -1254,6 +1263,25 @@ object SparkEntry {
           |  CASE WHEN secs > 0
           |    THEN CAST(floor(inc * 1000.0 / secs) AS BIGINT) END AS rate_millis
           |FROM c""".stripMargin,
+
+      "q_downsample_1h" ->
+        """WITH b AS (
+          |  SELECT user_id, event_id, ts,
+          |    make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000)
+          |      AS bucket_ts,
+          |    CAST(floor(value * 1000.0) AS BIGINT) AS v_milli
+          |  FROM events),
+          |d AS (
+          |  SELECT user_id, bucket_ts, event_id, ts, v_milli,
+          |    abs(count(*) OVER (PARTITION BY user_id, bucket_ts) * v_milli -
+          |        sum(v_milli) OVER (PARTITION BY user_id, bucket_ts)) AS dev
+          |  FROM b)
+          |SELECT user_id, bucket_ts, event_id, v_milli FROM (
+          |  SELECT user_id, bucket_ts, event_id, v_milli,
+          |    row_number() OVER (PARTITION BY user_id, bucket_ts
+          |      ORDER BY dev DESC, ts, event_id) AS rn
+          |  FROM d)
+          |WHERE rn = 1""".stripMargin,
 
       "q_rolling_actives_7d" -> withTurns(
         """SELECT v.day, count(DISTINCT v.conv_id) AS active_7d

@@ -54,6 +54,39 @@ object SeriesFunctions {
           .otherwise(lit(null).cast("long")))
   }
 
+  /** Shape-preserving point-select downsampling (the "downsample"
+    * verb of the north rule that tier ROLLUPS don't cover: rollups
+    * aggregate, this picks representative SAMPLES for serving /
+    * visualization). Per (series, bucket) the survivor is the sample
+    * deviating most from the bucket mean — the LTTB family's
+    * "keep the extremes, drop the middle" shape without LTTB's
+    * sequential previous-selected-point dependency (which cannot
+    * parallelize per bucket).
+    *
+    * Determinism/oracle design: values go fixed-point FIRST
+    * (`v_milli` = floor(1000·v)), so the deviation |n·v − Σv| is
+    * exact integer arithmetic — no float summation-order dependence
+    * between engines — and ties pin on (ts, orderCols). One window
+    * shuffle on (series, bucket).
+    */
+  def downsampleMaxDev(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, widthSpec: String, orderCols: Seq[String]): DataFrame = {
+    val vm = floor(col(valCol) * lit(1000.0)).cast("long")
+    val withB = df
+      .withColumn("bucket_ts", graft.rollup.Rollup.bucketWidth(col(tsCol), widthSpec))
+      .withColumn("v_milli", vm)
+    val part = Seq(col(keyCol), col("bucket_ts"))
+    val wAgg = Window.partitionBy(part: _*)
+    val dev = abs(count(lit(1)).over(wAgg) * col("v_milli") -
+      sum(col("v_milli")).over(wAgg))
+    val wPick = Window.partitionBy(part: _*)
+      .orderBy(dev.desc +: col(tsCol).asc +: orderCols.map(col(_).asc): _*)
+    withB
+      .withColumn("_rn", row_number().over(wPick))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Distinct actives per day over a trailing `windowDays` window
     * (retention-style "rolling 7-day actives"). Exact, not sketched:
     * (day, id) pairs are dedup'd once, then each pair votes for the

@@ -60,6 +60,27 @@ class SeriesFunctionsSpec extends SparkSuite {
     assert(out === Map("2024-01-01" -> 2L, "2024-01-03" -> 2L))
   }
 
+  test("downsampleMaxDev: keeps the extreme per bucket, ties pin on earliest ts") {
+    val df = Seq(
+      // one 1h bucket: values 0, 10, 5 → devs 15, 15, 0 → tie between
+      // the 0-sample and the 10-sample; earliest ts must win
+      ("u1", ts("2024-01-01 10:00:00"), 0.0, 1L),
+      ("u1", ts("2024-01-01 10:10:00"), 10.0, 2L),
+      ("u1", ts("2024-01-01 10:20:00"), 5.0, 3L),
+      // single-sample bucket passes through
+      ("u1", ts("2024-01-01 11:30:00"), 7.25, 4L),
+      // other series, same hour: independent pick
+      ("u2", ts("2024-01-01 10:05:00"), 1.0, 5L),
+      ("u2", ts("2024-01-01 10:06:00"), 9.0, 6L)
+    ).toDF("series", "ts", "value", "sample_id")
+    val out = SeriesFunctions
+      .downsampleMaxDev(df, "series", "ts", "value", "1h", Seq("sample_id"))
+      .select("sample_id", "v_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // u2: mean 5 → devs 8, 8 → tie → earlier (sample 5) wins
+    assert(out.toSeq === Seq((1L, 0L), (4L, 7250L), (5L, 1000L)))
+  }
+
   test("rollingDistinctActives: windowDays=1 equals plain daily distinct") {
     val df = Seq(
       (ts("2024-01-01 10:00:00"), "a"),
