@@ -28,7 +28,7 @@ object ScaleSpot {
     "q_rollup_30s", "q_align_join", "q_gapfill_1h", "q_cumulative_1d",
     "q_sessionize", "q_window_lag", "q_tree_depth", "q_tree_depth_doubling",
     "q_head_per_conv", "q_chunk_roundtrip", "q_dedup_exact",
-    "q_counter_rate", "q_rolling_actives_7d",
+    "q_counter_rate", "q_rolling_actives_7d", "q_downsample_1h",
     "q_semi_join", "q_anti_join", "q_mode_tool",
     "q_text_stats", "q_lang_id", "q_tokenize", "q_log_templates",
     "q_minhash_lsh", "q_ngram_jaccard_lsh", "q_simhash",
@@ -104,12 +104,16 @@ object ScaleSpot {
     selected.flatMap { name =>
       SparkEntry.queries.get(name).orElse(extra.get(name)).map { fn =>
         val t0 = System.nanoTime()
-        // a query blowing up at 10x (OOM, codegen limit) is a RESULT
-        // this harness exists to record — report it as -1, never
-        // abort a 30-minute two-scale run with nothing written
+        // a query blowing up at 10x (codegen limit, analysis error) is
+        // a RESULT this harness exists to record — report it as -1,
+        // never abort a 30-minute two-scale run with nothing written.
+        // NonFatal ONLY: after an OOM this single-JVM SparkContext is
+        // heap-thrashed, and continuing would launder post-OOM timings
+        // into the evidence artifact as if they were clean — let fatal
+        // errors kill the run loudly instead.
         val t = try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
           catch {
-            case e: Throwable =>
+            case scala.util.control.NonFatal(e) =>
               Console.err.println(s"[scalespot] $name failed at $dir: " +
                 e.getClass.getSimpleName + ": " +
                 Option(e.getMessage).getOrElse("").take(200))

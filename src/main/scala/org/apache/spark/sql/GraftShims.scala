@@ -22,7 +22,13 @@ object GraftShims {
     */
   def checkpointedRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed match {
-      case lr: execution.LogicalRDD => Some(lr.rdd)
+      // the isLocallyCheckpointed guard makes the contract real:
+      // LogicalRDD also backs createDataFrame(rdd, schema) frames,
+      // and releasing a CALLER-persisted rdd there would drop a cache
+      // this code does not own
+      case lr: execution.LogicalRDD
+          if org.apache.spark.rdd.GraftRddShims.isLocallyCheckpointed(lr.rdd) =>
+        Some(lr.rdd)
       case _ => None
     }
 
