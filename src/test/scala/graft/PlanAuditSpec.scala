@@ -186,6 +186,17 @@ class PlanAuditSpec extends SparkSuite {
       s"rank filter not pushed into the window:\n$p")
   }
 
+  test("series derivatives are single-window plans, never self-joins") {
+    // counterRate = one lag window on the series key; downsample =
+    // one window on (series, bucket): any join in these plans means
+    // an accidental O(n·buckets) self-pairing crept in
+    Seq("q_counter_rate", "q_downsample_1h").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q lost its window plan:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+    }
+  }
+
   test("q_neardup_components assembles via equi joins only") {
     // building the plan runs the propagation rounds (one count per
     // round) — sf0.001 converges in a handful of rounds
