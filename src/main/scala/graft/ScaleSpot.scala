@@ -71,6 +71,12 @@ object ScaleSpot {
     // merges ~100 users per conversation and fabricates quadratic
     // "regressions" in every per-conversation join (found the hard
     // way: tree-depth at "51x"). Keep shifted ids under 10^6.
+    val maxUser = spark.read.parquet(s"$src/events.parquet")
+      .agg(max(col("user_id"))).head.getLong(0)
+    require(maxUser + (factor - 1) * 10000L < 1000000L,
+      s"replication would push user ids past lpad(6)'s domain " +
+        s"(max=$maxUser, factor=$factor): conv ids would collide and " +
+        "every per-conversation join would read superlinear")
     copies(spark.read.parquet(s"$src/events.parquet"), ev => i =>
       ev.withColumn("user_id", col("user_id") + lit(i * 10000L))
         .withColumn("event_id", col("event_id") + lit(i * 1000000L)))
