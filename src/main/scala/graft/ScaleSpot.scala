@@ -72,7 +72,7 @@ object ScaleSpot {
     // "regressions" in every per-conversation join (found the hard
     // way: tree-depth at "51x"). Keep shifted ids under 10^6.
     val maxUser = spark.read.parquet(s"$src/events.parquet")
-      .agg(max(col("user_id"))).head.getLong(0)
+      .agg(max(col("user_id"))).head().getLong(0)
     require(maxUser + (factor - 1) * 10000L < 1000000L,
       s"replication would push user ids past lpad(6)'s domain " +
         s"(max=$maxUser, factor=$factor): conv ids would collide and " +

@@ -7,6 +7,8 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.table.ChronoTable.{FileEntry, Snapshot}
+
 /** A snapshot/manifest table layer with Iceberg mechanics at miniature
   * scale (SURVEY.md §7): partitioned Parquet data files + an atomic
   * JSON snapshot log giving
@@ -64,22 +66,6 @@ final class ChronoTable private (
   // ------------------------------------------------------------------
   // snapshot log
   // ------------------------------------------------------------------
-
-  /** One live data file. `partition` is the relative key=value path
-    * (excluding batch_id), e.g. "ts_day=2024-01-03/conv_bucket=2".
-    * `minTsUs`/`maxTsUs` are the file's stats-column bounds in epoch
-    * micros (None when the table has no stats column or the file's
-    * column is all-null — such files are never pruned).
-    */
-  final case class FileEntry(path: String, partition: String, addedBy: Long,
-      minTsUs: Option[Long] = None, maxTsUs: Option[Long] = None)
-
-  final case class Snapshot(
-      id: Long,
-      parentId: Long,
-      op: String,
-      files: Seq[FileEntry],
-      summary: Map[String, String])
 
   def currentSnapshotId: Long =
     if (Files.exists(currentPtr)) Files.readString(currentPtr).trim.toLong else 0L
@@ -430,6 +416,24 @@ final class ChronoTable private (
 }
 
 object ChronoTable {
+  /** One live data file. `partition` is the relative key=value path
+    * (excluding batch_id), e.g. "ts_day=2024-01-03/conv_bucket=2".
+    * `minTsUs`/`maxTsUs` are the file's stats-column bounds in epoch
+    * micros (None when the table has no stats column or the file's
+    * column is all-null — such files are never pruned).
+    * Companion-level (not class-nested) so pattern matches need no
+    * unverifiable outer-instance check.
+    */
+  final case class FileEntry(path: String, partition: String, addedBy: Long,
+      minTsUs: Option[Long] = None, maxTsUs: Option[Long] = None)
+
+  final case class Snapshot(
+      id: Long,
+      parentId: Long,
+      op: String,
+      files: Seq[FileEntry],
+      summary: Map[String, String])
+
   /** Open (or initialize) a table rooted at `root`. */
   def apply(spark: SparkSession, root: String, partitionCols: Seq[String],
       statsTsCol: Option[String] = None): ChronoTable = {

@@ -50,6 +50,25 @@ class ComponentsSpec extends SparkSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("random graph matches a driver-side union-find oracle") {
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val ids = (0L until n.toLong)
+    val pairs = Seq.fill(250)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+    // union-find, always rooting the smaller id: the final root of
+    // every tree IS the component minimum (roots are only ever
+    // replaced by smaller roots)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i.toInt).toLong).toMap
+    assert(comps(ids, pairs) === expected)
+  }
+
   test("withClusterStats: sizes and canonical flags") {
     val components = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L))
       .toDF("doc_id", "component")
