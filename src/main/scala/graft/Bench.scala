@@ -16,7 +16,21 @@ import graft.rollup.Rollup
   * scaling evidence lives in graft.ScalingBench / BENCH/BASELINE.md.
   */
 object Bench {
+
+  /** `/proc/loadavg` snapshot — (1m, 5m, 15m, running/total procs).
+    * Stamped into the JSON so a reader can tell box load from code
+    * regression without rerunning; "?" when unreadable (non-Linux).
+    */
+  private def loadStamp(): String =
+    try {
+      val f = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
+      s""""load1":${f(0)},"load5":${f(1)},"load15":${f(2)},"procs":"${f(3)}""""
+    } catch { case scala.util.control.NonFatal(_) =>
+      """"load1":-1,"load5":-1,"load15":-1,"procs":"?"""" }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadStamp()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -42,12 +56,21 @@ object Bench {
       ev.select(row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("event_id"))).as("rn"))
         .filter(col("rn") === 1).count()
-    } catch { case _: Throwable => () } // warm-up must never fail the bench
+      // NonFatal only: a fatal error (OOM) leaves the JVM heap-
+      // thrashed and every timing after it would be laundered into
+      // the artifact — let it kill the run loudly instead
+    } catch { case scala.util.control.NonFatal(_) => () }
 
     // a crashed query must not look fast: its time is reported as -1
-    // AND its error surfaces in the "errors" object of the JSON line
+    // AND its error surfaces in the "errors" object of the JSON line.
+    //
+    // MIN-OF-2 per query (r4 verdict ask): three rounds running, a
+    // transient co-tenant/box-load spike read as a phantom code
+    // regression in this artifact. The min of two interleaved-in-time
+    // runs discards a spike that hit only one of them; the loadavg
+    // stamps below let a reader see residual whole-run load.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -64,6 +87,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      t
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val t1 = runOnce(name, fn)
+      // a failed first run is final (-1); retrying would hide flaky
+      // failures behind a passing second attempt
+      val t = if (t1 < 0) t1 else {
+        val t2 = runOnce(name, fn)
+        if (t2 < 0) -1.0 else math.min(t1, t2)
+      }
       name -> t
     }
 
@@ -94,7 +127,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       cascade() // warm-up
-      n / cascade()
+      n / math.min(cascade(), cascade()) // min-of-2: same rationale as queries
     } catch {
       case e: Throwable =>
         errors("rollup_throughput") = (e.getClass.getSimpleName + ": " +
@@ -123,7 +156,10 @@ object Bench {
       s""""errors":$errs,"error_count":${errors.size},""" +
       s""""common_total":$commonTotal,"common_n":${r2Queries.size},""" +
       s""""common_errored":$commonErrored,""" +
-      s""""rollup_throughput_turns_per_sec":$throughput,"sf":"$sfDir"}""")
+      s""""rollup_throughput_turns_per_sec":$throughput,""" +
+      s""""per_query_runs":2,"timing":"min_of_runs",""" +
+      s""""load_start":{$loadStart},"load_end":{${loadStamp()}},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 

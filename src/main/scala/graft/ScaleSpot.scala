@@ -66,33 +66,55 @@ object ScaleSpot {
 
     // events: shift user_id (new conversations) and event_id (keeps
     // id-derived tool assignment distributions identical per copy).
+    // Strides are DERIVED FROM THE DATA (maxId + 1), not hardcoded:
+    // the datagen's id ranges scale with SF, and a fixed stride
+    // narrower than the real range silently merges users/events
+    // across copies — distorting exactly the per-conversation ratios
+    // this harness measures.
     // CAUTION: fromEvents derives conv_id with lpad(user_id, 6, '0'),
-    // which TRUNCATES ids past 6 digits — a wider stride silently
-    // merges ~100 users per conversation and fabricates quadratic
+    // which TRUNCATES ids past 6 digits — ids past 10^6 silently
+    // merge ~100 users per conversation and fabricate quadratic
     // "regressions" in every per-conversation join (found the hard
-    // way: tree-depth at "51x"). Keep shifted ids under 10^6.
-    val maxUser = spark.read.parquet(s"$src/events.parquet")
-      .agg(max(col("user_id"))).head().getLong(0)
-    require(maxUser + (factor - 1) * 10000L < 1000000L,
+    // way: tree-depth at "51x"). Enforced on the DERIVED stride.
+    val Array(maxUser, maxEvent) = spark.read.parquet(s"$src/events.parquet")
+      .agg(max(col("user_id")), max(col("event_id"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val userStride = maxUser + 1
+    val eventStride = maxEvent + 1
+    require(maxUser + (factor - 1) * userStride < 1000000L,
       s"replication would push user ids past lpad(6)'s domain " +
-        s"(max=$maxUser, factor=$factor): conv ids would collide and " +
-        "every per-conversation join would read superlinear")
+        s"(max=$maxUser, stride=$userStride, factor=$factor): conv ids " +
+        "would collide and every per-conversation join would read superlinear")
     copies(spark.read.parquet(s"$src/events.parquet"), ev => i =>
-      ev.withColumn("user_id", col("user_id") + lit(i * 10000L))
-        .withColumn("event_id", col("event_id") + lit(i * 1000000L)))
+      ev.withColumn("user_id", col("user_id") + lit(i * userStride))
+        .withColumn("event_id", col("event_id") + lit(i * eventStride)))
       .repartition(64)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
+    // doc/vec strides leave headroom for the +10^6 planted-duplicate
+    // shift the dupedDocs/dupedVecs fixtures apply on top
+    val maxDoc = spark.read.parquet(s"$src/documents.parquet")
+      .agg(max(col("doc_id"))).head().getLong(0)
     copies(spark.read.parquet(s"$src/documents.parquet"), d => i =>
-      d.withColumn("doc_id", col("doc_id") + lit(i * 100000000L)))
+      d.withColumn("doc_id", col("doc_id") + lit(i * (maxDoc + 1000001L))))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
+    val maxVec = spark.read.parquet(s"$src/embeddings.parquet")
+      .agg(max(col("vec_id"))).head().getLong(0)
     copies(spark.read.parquet(s"$src/embeddings.parquet"), e => i =>
-      e.withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
+      e.withColumn("vec_id", col("vec_id") + lit(i * (maxVec + 1000001L))))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    // provenance marker: a reused big dir is only valid for the
+    // (source, factor) it was built from — see main()
+    Files.write(java.nio.file.Paths.get(s"$dst/REPLICA_MARKER"),
+      markerText(src, factor).getBytes("UTF-8"))
   }
+
+  private def markerText(src: String, factor: Int): String =
+    s"src=$src factor=$factor"
 
   /** Optional comma-separated subset for iterating on one query. */
   private def selected: Seq[String] =
@@ -102,11 +124,14 @@ object ScaleSpot {
     }
 
   private def timeAll(spark: SparkSession, dir: String): Map[String, Double] = {
-    // untimed warm-up (same hygiene as Bench)
+    // untimed warm-up (same hygiene as Bench). NonFatal ONLY — a
+    // fatal error (OOM) here leaves the JVM heap-thrashed, and
+    // timings taken after it would launder into the artifact (the
+    // same rationale as the main loop's catch below).
     try {
       spark.read.parquet(s"$dir/events.parquet")
         .groupBy(col("event_type")).count().count()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     selected.flatMap { name =>
       SparkEntry.queries.get(name).orElse(extra.get(name)).map { fn =>
         val t0 = System.nanoTime()
@@ -150,10 +175,16 @@ object ScaleSpot {
     spark.sparkContext.setLogLevel("WARN")
 
     // reusable big dir (env) so iterating on one slow query does not
-    // pay the replication write each run
+    // pay the replication write each run. The marker pins the corpus
+    // to its (source, factor): a stale replica from a previous run
+    // with different settings must be rebuilt, not silently measured
+    // under the current run's labels.
     val big = sys.env.getOrElse("SPARK_GRAFT_BIG_DIR",
       Files.createTempDirectory("graft-scalespot-").toString)
-    if (!Files.exists(java.nio.file.Paths.get(s"$big/events.parquet")))
+    val marker = java.nio.file.Paths.get(s"$big/REPLICA_MARKER")
+    val markerOk = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == markerText(sfDir, factor)
+    if (!Files.exists(java.nio.file.Paths.get(s"$big/events.parquet")) || !markerOk)
       replicate(spark, sfDir, big, factor)
 
     val t1 = timeAll(spark, sfDir)

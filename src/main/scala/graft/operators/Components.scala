@@ -54,8 +54,11 @@ object Components {
     // contract: `ids` is the node universe — pairs mentioning an id
     // outside it contribute nothing. Enforced ONCE here (the relax
     // union would otherwise grow phantom label rows); the per-round
-    // loop then never needs to re-screen.
-    val universe = ids.select(col(idCol).as("_u"))
+    // loop then never needs to re-screen. `distinct` because a
+    // duplicated id would seed multiple self rows and break the
+    // 1:1 pointer-jump join invariant (duplicating output rows) —
+    // cheap relative to the per-round edge join.
+    val universe = ids.select(col(idCol).as("_u")).distinct()
     // repartition on _b BEFORE persist: every round equi-joins labels
     // on _b, and caching an already-hash-partitioned table lets each
     // round's join reuse the stored partitioning instead of paying a
@@ -70,7 +73,7 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val labelType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
-      var labels = ids.select(col(idCol).as("_id"), col(idCol).as("_comp"))
+      var labels = universe.select(col("_u").as("_id"), col("_u").as("_comp"))
         .localCheckpoint()
       // the checkpointed frame BEHIND labels (labels itself becomes a
       // projection of it after round 1) — what release targets
