@@ -49,14 +49,13 @@ object ScaleSpot {
     def emb(s: SparkSession, dir: String): DataFrame =
       s.read.parquet(s"$dir/embeddings.parquet")
     Map(
-      "q_embed_lsh_topk_auto" -> ((s, dir) =>
-        Similarity.lshTopKAuto(emb(s, dir), "vec_id", "embedding", k = 5)),
       "q_embed_ivf_topk_auto" -> ((s, dir) =>
         Similarity.ivfTopKAuto(emb(s, dir), "vec_id", "embedding", k = 5)))
-    // q_embed_neardup_lsh_auto is NOT defined here: it is a real
-    // SparkEntry query (hash-checked over the duped-vector fixture),
-    // and SparkEntry.queries resolves FIRST — an entry here would be
-    // dead code that silently diverged from what is measured.
+    // q_embed_neardup_lsh_auto and (since r5) q_embed_lsh_topk_auto
+    // are NOT defined here: they are real SparkEntry queries
+    // (hash-checked), and SparkEntry.queries resolves FIRST — an
+    // entry here would be dead code that silently diverged from what
+    // is measured.
   }
 
   private def replicate(spark: SparkSession, src: String, dst: String,

@@ -531,6 +531,31 @@ object SparkEntry {
         Similarity.lshPairsAuto(dv, "vec_id", "embedding"), 0.95)
     }),
 
+    // --- the auto-sizing MATH inside a hash-checked entry (r4 verdict
+    // ask #10): the same auto near-dup over a 4×-replicated corpus at
+    // occupancy 16, where autoPlanes picks a DIFFERENT value than the
+    // unreplicated form (6 → 8 at sf0.01's n=550 → 2200; asserted in
+    // EntrySpec) — the oracle recomputes planes from ITS OWN count(*),
+    // so a wrong rounding in either engine's sizing breaks the hash ---
+    "q_embed_neardup_lsh_auto_4x" -> ((s, dir) => {
+      val dv = dupedVecs(s, dir)
+      val big = (0 until 4).map(i =>
+        dv.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+      Similarity.cosineNearDup(big, "vec_id", "embedding",
+        Similarity.lshPairsAuto(big, "vec_id", "embedding",
+          targetOccupancy = 16), 0.95)
+    }),
+
+    // --- auto-sized LSH top-k, hash-checked (r4 verdict ask #7): the
+    // plane count is a pure INTEGER function of n (autoPlanes), so the
+    // DuckDB mirror computes the same planes from the same fixture
+    // count(*) and gates the whole auto path, not just its pinned twin ---
+    "q_embed_lsh_topk_auto" -> ((s, dir) =>
+      Similarity.lshTopKAuto(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        k = 5)),
+
     // --- the IVF scale path for the same planted-duplicate fixture:
     // exact copies share every centroid similarity → same inverted
     // list → ivfPairs provably recovers them, so this THIRD variant
@@ -543,7 +568,8 @@ object SparkEntry {
     }),
 
     // --- IVF-Flat ANN top-k (k-means inverted lists, nprobe probing;
-    // centroid means are data-derived floats: rows-only) ---
+    // fixed-point Lloyd training makes the centroids order-free and
+    // DuckDB-mirrorable — hash-checked INCLUDING training since r5) ---
     "q_embed_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
@@ -627,6 +653,24 @@ object SparkEntry {
           .select("event_id", "user_id", "ts", "value"),
         "user_id", "ts", "value", Seq("event_id"))
         .select("event_id", "user_id", "increase_millis", "rate_millis")),
+
+    // --- DOWNSAMPLED counter rate: last sample per (user, hour),
+    // reset-aware diff across consecutive bucket lasts — the serving-
+    // resolution rate query (output ∝ buckets, not samples) ---
+    "q_counter_rate_1h" -> ((s, dir) =>
+      graft.functions.SeriesFunctions.counterRateBucketed(
+        s.read.parquet(s"$dir/events.parquet")
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", "1h", Seq("event_id"))),
+
+    // --- per-conversation turn RATE per hour — the tier-ROUTABLE
+    // series derivative: its aggregate is the exact rollup shape, so
+    // under a registered warehouse it scans tier_1h partials instead
+    // of raw turns (TierRoutingSpec pins the routed scan + equality;
+    // here it computes from raw and hash-checks the semantics) ---
+    "q_turn_rate_1h" -> ((s, dir) =>
+      graft.functions.SeriesFunctions.turnRate(
+        turns(s, dir), "conv_id", "ts", "1h")),
 
     // --- rolling 7-day distinct active conversations (retention
     // family; exact, single shuffle on the report day) ---
@@ -1205,6 +1249,14 @@ object SparkEntry {
       "q_simhash" -> simhashOracleSql,
       "q_embed_lsh_topk" ->
         lshTopkOracleSql(dim = 64, planes = 6, rotations = 4, k = 5),
+      // the LAST formerly-no-oracle entry, closed by r5's fixed-point
+      // Lloyd: training itself is now mirrored, 66/66 hash-checked
+      "q_embed_ivf_topk" ->
+        ivfTopkOracleSql(dim = 64, nlist = 8, nprobe = 3, iters = 2, k = 5),
+      "q_embed_lsh_topk_auto" ->
+        lshTopkAutoOracleSql(dim = 64, rotations = 4, k = 5, occupancy = 256),
+      "q_embed_neardup_lsh_auto_4x" ->
+        neardupLshAuto4xOracleSql(dim = 64, rotations = 4, occupancy = 16),
 
       // --- near-dup clustering: the same LSH candidate chain over the
       // duped corpus, closed transitively by a recursive reachability
@@ -1263,6 +1315,45 @@ object SparkEntry {
           |  CASE WHEN secs > 0
           |    THEN CAST(floor(inc * 1000.0 / secs) AS BIGINT) END AS rate_millis
           |FROM c""".stripMargin,
+
+      "q_counter_rate_1h" ->
+        """WITH b AS (
+          |  SELECT user_id, value, ts, event_id,
+          |    make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000)
+          |      AS bucket_ts
+          |  FROM events),
+          |l AS (
+          |  SELECT user_id, bucket_ts, ts, value FROM (
+          |    SELECT user_id, bucket_ts, ts, value,
+          |      row_number() OVER (PARTITION BY user_id, bucket_ts
+          |        ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM b) WHERE rn = 1),
+          |w AS (
+          |  SELECT user_id, bucket_ts, value,
+          |    lag(value) OVER (PARTITION BY user_id ORDER BY bucket_ts) AS pv,
+          |    epoch_us(ts) - lag(epoch_us(ts))
+          |      OVER (PARTITION BY user_id ORDER BY bucket_ts) AS dus
+          |  FROM l),
+          |c AS (
+          |  SELECT user_id, bucket_ts,
+          |    CASE WHEN pv IS NULL THEN NULL
+          |         WHEN value < pv THEN value
+          |         ELSE value - pv END AS inc,
+          |    CAST(dus AS DOUBLE) / 1000000.0 AS secs
+          |  FROM w)
+          |SELECT user_id, bucket_ts,
+          |  CAST(floor(inc * 1000.0) AS BIGINT) AS increase_millis,
+          |  CASE WHEN secs > 0
+          |    THEN CAST(floor(inc * 1000.0 / secs) AS BIGINT) END AS rate_millis
+          |FROM c""".stripMargin,
+
+      "q_turn_rate_1h" -> withTurns(
+        """SELECT conv_id,
+          |  make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000)
+          |    AS bucket_ts,
+          |  count(*) AS increase,
+          |  CAST(floor(count(*) * 1000.0 / 3600.0) AS BIGINT) AS rate_millis
+          |FROM turns GROUP BY 1, 2""".stripMargin),
 
       "q_downsample_1h" ->
         """WITH b AS (
@@ -1436,6 +1527,115 @@ object SparkEntry {
        |FROM sums""".stripMargin
   }
 
+  /** Left-to-right double fold Σ a·b over `dim` positions — the exact
+    * DuckDB counterpart of the engine's codegen'd DotProduct (same
+    * summation order ⇒ bit-identical doubles).
+    */
+  private def sqlDot(dim: Int, a: String, b: String): String =
+    s"""list_reduce(list_concat([0.0::DOUBLE],
+       |      list_transform(generate_series(1, $dim), i -> $a[i] * $b[i])),
+       |      (x, y) -> x + y)""".stripMargin
+
+  /** [[sqlDot]] against an embedded hyperplane literal (round-tripped
+    * through `Double.toString`: shortest-representation parsing is
+    * correctly rounded, so both engines see identical IEEE doubles).
+    */
+  private def sqlPlaneDot(dim: Int, vec: String, plane: Array[Double]): String = {
+    val lit = plane.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"""list_reduce(list_concat([0.0::DOUBLE],
+       |        list_transform(generate_series(1, $dim),
+       |          i -> $vec[i] * ($lit::DOUBLE[])[i])),
+       |        (x, y) -> x + y)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Similarity.autoPlanes]] over `src`'s row
+    * count: smallest p in [0,24] with 2^p·occupancy ≥ n (24 when
+    * none), floored at 4 — INTEGER arithmetic end to end, exactly the
+    * engine's loop, so both engines derive the same plane count from
+    * the same corpus (ask #7: the auto-sizing math itself sits inside
+    * the hash gate).
+    */
+  private def autoPlanesSql(src: String, occupancy: Int): String =
+    s"""GREATEST(4, COALESCE((
+       |    SELECT min(p) FROM generate_series(0, 24) t(p)
+       |    WHERE (CAST(1 AS BIGINT) << p) * $occupancy >=
+       |      (SELECT count(*) FROM $src)), 24))""".stripMargin
+
+  /** Per-rotation bucket selects with the plane count a RUNTIME value
+    * (`pl.planes` from a cross-joined `params` CTE): all 24 potential
+    * plane-bit terms are emitted, each gated on `p < planes`. Bits
+    * are disjoint so the `|`-combine equals the engine's foldLeft
+    * bitwiseOR over its first `planes` hyperplanes — which depend
+    * only on (rotation, p), never on the total count, so literals
+    * stay valid for every chosen size. Expects CTEs `nn(vec_id, e,
+    * nrm)` and `params(planes)`.
+    */
+  private def lshAutoBucketSelects(dim: Int, rotations: Int): String =
+    (0 until rotations).map { r =>
+      val terms = (0 until 24).map { p =>
+        s"""(CASE WHEN $p < pl.planes
+           |      AND ${sqlPlaneDot(dim, "e", Similarity.hyperplane(dim, r * 1024 + p))} > 0
+           |      THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+      }.mkString(" |\n    ")
+      s"""SELECT vec_id, e, nrm, $r AS rot,
+         |    $terms AS bucket
+         |  FROM nn, params pl""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+
+  /** DuckDB mirror of [[Similarity.lshTopKAuto]]: like the pinned
+    * mirror but the plane count is computed IN SQL from count(*)
+    * ([[autoPlanesSql]]) — the whole auto path, sizing included, is
+    * hash-gated.
+    */
+  private def lshTopkAutoOracleSql(dim: Int, rotations: Int, k: Int,
+      occupancy: Int): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |params AS (SELECT ${autoPlanesSql("v", occupancy)} AS planes),
+       |nn AS (SELECT vec_id, e, sqrt(${sqlDot(dim, "e", "e")}) AS nrm FROM v),
+       |b AS (
+       |  ${lshAutoBucketSelects(dim, rotations)}),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, c.vec_id AS nid,
+       |    max(${sqlDot(dim, "a.e", "c.e")} / (a.nrm * c.nrm)) AS cos
+       |  FROM b a JOIN b c ON a.rot = c.rot AND a.bucket = c.bucket
+       |    AND a.vec_id != c.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, nid FROM (
+       |  SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+
+  /** DuckDB mirror of the 4×-replicated auto near-dup: the corpus is
+    * the duped fixture × 4 id-shifted copies, planes recomputed from
+    * the bigger count — at sf0.01 the formula picks 8 where the
+    * unreplicated form picks 6, so the SIZING step itself is what
+    * this entry hash-checks.
+    */
+  private def neardupLshAuto4xOracleSql(dim: Int, rotations: Int,
+      occupancy: Int): String =
+    s"""WITH duped AS ($dupedVecsSql),
+       |v AS (
+       |  SELECT vec_id + i * 10000000 AS vec_id, e
+       |  FROM duped, generate_series(0, 3) t(i)),
+       |params AS (SELECT ${autoPlanesSql("v", occupancy)} AS planes),
+       |nn AS (SELECT vec_id, e, sqrt(${sqlDot(dim, "e", "e")}) AS nrm FROM v),
+       |b AS (
+       |  ${lshAutoBucketSelects(dim, rotations)}),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+       |  FROM b a JOIN b c ON a.rot = c.rot AND a.bucket = c.bucket
+       |    AND a.vec_id < c.vec_id),
+       |pairs AS (
+       |  SELECT p.id1, p.id2,
+       |    ${sqlDot(dim, "x1.e", "x2.e")} / (x1.nrm * x2.nrm) AS cos
+       |  FROM cand p
+       |  JOIN nn x1 ON x1.vec_id = p.id1
+       |  JOIN nn x2 ON x2.vec_id = p.id2)
+       |SELECT id1, id2, CAST(floor(cos * 1000) AS BIGINT) AS cos_millis
+       |FROM pairs WHERE cos >= 0.95""".stripMargin
+
   /** DuckDB mirror of [[Similarity.lshTopK]]: the deterministic
     * splitmix64 hyperplanes are query constants, so the oracle embeds
     * the SAME plane literals ([[Similarity.hyperplane]], round-tripped
@@ -1477,6 +1677,83 @@ object SparkEntry {
        |    max(${dotSql("a.e", "c.e")} / (a.nrm * c.nrm)) AS cos
        |  FROM b a JOIN b c ON a.rot = c.rot AND a.bucket = c.bucket
        |    AND a.vec_id != c.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, nid FROM (
+       |  SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Similarity.ivfTopK]] INCLUDING its k-means
+    * training — possible since r5's fixed-point Lloyd
+    * ([[Similarity.LloydScale]]): per-round centroid sums accumulate
+    * as floor(x·2²⁰) BIGINTs (order-free in both engines), init picks
+    * the nlist smallest MirrorHash ranks (exact SQL counterpart,
+    * unlike the old xxhash64), and every dot product is the same
+    * left-to-right double fold as the engine's DotProduct — so the
+    * trained centroids, assignments, probes, and final ranking are
+    * all bit-identical. Unrolls `iters` Lloyd rounds as CTE pairs
+    * (assignment → fixed-point means), carrying empty clusters'
+    * previous centroids via LEFT JOIN + COALESCE exactly like the
+    * engine's `next = cents.clone` loop.
+    */
+  private def ivfTopkOracleSql(dim: Int, nlist: Int, nprobe: Int,
+      iters: Int, k: Int): String = {
+    import graft.functions.MirrorHash
+    def dotSql(a: String, b: String): String =
+      s"""list_reduce(list_concat([0.0::DOUBLE],
+         |      list_transform(generate_series(1, $dim), i -> $a[i] * $b[i])),
+         |      (x, y) -> x + y)""".stripMargin
+    val rank = MirrorHash.affineSql(fingerprintSql("CAST(vec_id AS VARCHAR)"),
+      MirrorHash.a(MirrorHash.IvfSalt, 0), MirrorHash.b(MirrorHash.IvfSalt, 0))
+    val scale = "1048576.0" // LloydScale = 2^20, spelled exactly
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"cent${it - 1}"
+      s"""asg$it AS (
+         |  SELECT vec_id, e, cid FROM (
+         |    SELECT v.vec_id, v.e, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dotSql("v.e", "c.ce")} DESC, c.cid DESC) AS rn
+         |    FROM v CROSS JOIN ${prev}l c)
+         |  WHERE rn = 1),
+         |m$it AS (
+         |  SELECT cid, i AS pos,
+         |    CAST(sum(CAST(floor(e[i] * $scale) AS BIGINT)) AS DOUBLE)
+         |      / ($scale * CAST(count(*) AS DOUBLE)) AS val
+         |  FROM asg$it, generate_series(1, $dim) t(i)
+         |  GROUP BY cid, i),
+         |cent$it AS (
+         |  SELECT c.cid, c.pos, COALESCE(m.val, c.val) AS val
+         |  FROM $prev c LEFT JOIN m$it m ON m.cid = c.cid AND m.pos = c.pos),
+         |cent${it}l AS (
+         |  SELECT cid, list(val ORDER BY pos) AS ce FROM cent$it GROUP BY cid)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT cid, i AS pos, e[i] AS val
+       |  FROM (SELECT e, row_number() OVER (ORDER BY $rank, vec_id) - 1 AS cid
+       |        FROM v) s, generate_series(1, $dim) t(i)
+       |  WHERE cid < $nlist),
+       |cent0l AS (SELECT cid, list(val ORDER BY pos) AS ce FROM cent0 GROUP BY cid),
+       |$iterCtes,
+       |n AS (SELECT vec_id, sqrt(${dotSql("e", "e")}) AS nrm FROM v),
+       |fin AS (
+       |  SELECT v.vec_id, v.e, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v.e", "c.ce")} DESC, c.cid DESC) AS rn
+       |  FROM v CROSS JOIN cent${iters}l c),
+       |lists AS (
+       |  SELECT f.cid, f.vec_id AS nid, f.e AS nv, n.nrm AS nn
+       |  FROM fin f JOIN n ON n.vec_id = f.vec_id WHERE f.rn = 1),
+       |probes AS (
+       |  SELECT f.cid, f.vec_id AS qid, f.e AS qv, n.nrm AS qn
+       |  FROM fin f JOIN n ON n.vec_id = f.vec_id WHERE f.rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.qid, l.nid, max(${dotSql("p.qv", "l.nv")} / (p.qn * l.nn)) AS cos
+       |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.nid != p.qid
        |  GROUP BY 1, 2)
        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid FROM (
        |  SELECT qid, nid,
@@ -1533,17 +1810,13 @@ object SparkEntry {
        |SELECT id1, id2, CAST(floor(cos * 1000) AS BIGINT) AS cos_millis
        |FROM pairs WHERE cos >= 0.95""".stripMargin
 
-  /** The ONE query intentionally WITHOUT oracle SQL. q_embed_ivf_topk
-    * is principled, not a hash-mirroring gap: its centroids are Lloyd
-    * MEANS — Spark double sums whose summation order varies with
-    * partitioning, so the trained floats are not bit-reproducible in
-    * any external engine (unlike the splitmix64 hyperplanes, which ARE
-    * mirrored — q_embed_lsh_topk is hash-checked). Its semantics are
-    * covered three ways: q_embed_neardup_ivf hash-matches the shared
-    * planted-copies oracle (same centroids, same assignment
-    * expression), SimilaritySpec asserts recall vs the exact top-k,
-    * and the driver still row-counts it. Every minhash/simhash/LSH
-    * query is now oracle-checked via [[graft.functions.MirrorHash]].
+  /** Queries intentionally without oracle SQL: NONE since r5. The
+    * last omission (q_embed_ivf_topk — float Lloyd means were not
+    * bit-reproducible externally) was closed by fixed-point Lloyd
+    * training ([[Similarity.LloydScale]]): centroid sums accumulate
+    * as floor(x·2²⁰) longs, which are order-free, so
+    * [[ivfTopkOracleSql]] now mirrors the TRAINING too and every
+    * query entry is hash-checked.
     */
-  val oracleOmissions: Set[String] = Set("q_embed_ivf_topk")
+  val oracleOmissions: Set[String] = Set.empty
 }

@@ -45,6 +45,7 @@ object MirrorHash {
   val MinHashSalt: Long = 0x4D696E4861736CL // "MinHasl"
   val SimHashSalt: Long = 0x53696D4861736CL // "SimHasl"
   val SampleSalt: Long = 0x53616D706C65L    // "Sample" — TrainingSet ranks
+  val IvfSalt: Long = 0x49564661736CL       // "IVFasl" — k-means init order
 
   /** `(a·fp + b) mod P` as a Column (fp must be a fingerprint in
     * [0, P): the product stays < 2⁶²).

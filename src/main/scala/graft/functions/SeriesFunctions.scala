@@ -113,4 +113,110 @@ object SeriesFunctions {
       .groupBy(col("day"))
       .agg(countDistinct(col("_id")).as(s"active_${windowDays}d"))
   }
+
+  /** Per-(key, bucket) turn/event RATE — the tier-ROUTABLE series
+    * derivative (r4 verdict ask #8). For a cumulative occurrence
+    * counter, the increase within a bucket IS `count(*)`, so this
+    * emits exactly the aggregate shape
+    * [[graft.plans.TierRouting.RouteToTier]] rewrites: grouped on
+    * (key, tier_bucket(ts)) with a Count(1) aggregate. With a
+    * registered fresh warehouse and `keyCol = "conv_id"`, a 1h turn-
+    * rate over a month therefore scans `serve/tier_1h` partials
+    * instead of 10¹² raw turns (TierRoutingSpec pins the routed scan
+    * AND equality with the raw plan); without one it still computes
+    * correctly from raw. The rate projection sits ABOVE the
+    * aggregate, so routing sees the bare rollup shape.
+    *
+    * Fixed widths only: the rate denominator is the bucket width
+    * (calendar buckets have none). By contrast [[downsampleMaxDev]]
+    * intentionally does NOT route: point-SELECTION needs the raw
+    * samples by definition — no aggregate partial can answer it.
+    */
+  def turnRate(turns: DataFrame, keyCol: String, tsCol: String,
+      widthSpec: String): DataFrame = {
+    val widthSecs = graft.rollup.Rollup.parseWidthUs(widthSpec).toDouble / 1e6
+    turns
+      .groupBy(col(keyCol),
+        graft.plans.TierRouting.tierBucket(col(tsCol), widthSpec).as("bucket_ts"))
+      .agg(count(lit(1)).as("increase"))
+      .withColumn("rate_millis",
+        floor(col("increase") * lit(1000.0) / lit(widthSecs)).cast("long"))
+  }
+
+  /** Downsampled PromQL-style counter rate: [[counterRate]] at bucket
+    * resolution — per (key, bucket) keep the LAST sample (by ts, then
+    * `orderCols`), then apply the reset-aware diff ACROSS consecutive
+    * bucket lasts. The serving-resolution form of a rate query over a
+    * long range: output rows ∝ buckets, not samples, and the shuffle
+    * carries one row per (key, bucket) into the across-bucket window.
+    * A reset that both happens AND recovers past the previous
+    * bucket's last inside one bucket is invisible at this resolution
+    * — inherent to downsampled rates, same trade Prometheus makes at
+    * wide steps. Δt is the REAL elapsed time between the two last
+    * samples (not the nominal bucket width), matching counterRate.
+    */
+  def counterRateBucketed(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, widthSpec: String, orderCols: Seq[String]): DataFrame = {
+    val wBucket = Window
+      .partitionBy(col(keyCol), col("bucket_ts"))
+      .orderBy((col(tsCol).desc +: orderCols.map(col(_).desc)): _*)
+    val lastPerBucket = df
+      .withColumn("bucket_ts",
+        graft.rollup.Rollup.bucketWidth(col(tsCol), widthSpec))
+      .withColumn("_rn", row_number().over(wBucket))
+      .filter(col("_rn") === 1)
+      .select(col(keyCol), col("bucket_ts"),
+        col(tsCol).as("_ts_last"), col(valCol).as("_v_last"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+    val us = unix_micros(col("_ts_last").cast("timestamp"))
+    val prevV = lag(col("_v_last"), 1).over(w)
+    val prevUs = lag(us, 1).over(w)
+    val secs = (us - prevUs).cast("double") / lit(1e6)
+    val increase = when(prevV.isNull, lit(null).cast("double"))
+      .when(col("_v_last") < prevV, col("_v_last")) // reset: restart from 0
+      .otherwise(col("_v_last") - prevV)
+    lastPerBucket
+      .withColumn("increase_millis",
+        floor(increase * lit(1000.0)).cast("long"))
+      .withColumn("rate_millis",
+        when(secs > 0, floor(increase * lit(1000.0) / secs).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .select(col(keyCol), col("bucket_ts"),
+        col("increase_millis"), col("rate_millis"))
+  }
+
+  /** Sketch-based rolling actives — the LARGE-window scale path
+    * (r4 verdict ask #5). The exact operator explodes every
+    * (day, id) pair `windowDays`× before the distinct count: fine at
+    * 7 days, but a 90-day retention window multiplies the shuffle by
+    * 90× the active-pair count — a silent scale-killer. Here the
+    * explode moves ABOVE the aggregation: one Datasketches HLL
+    * partial per day first (shuffle = raw pairs ONCE, map-side
+    * combined), then only the per-day SKETCH rows (≤ a few KB × day
+    * count) fan out `windowDays`× and merge per report day. Total
+    * shuffle is independent of the window length.
+    *
+    * Accuracy is the HLL bound (~1.6%/√2^(lgK-4); ≈0.8% at the
+    * default lgConfigK=14) — spec-pinned within 5% of exact. Use the
+    * exact operator below ~2 weeks, this one beyond; same output
+    * shape and column names so callers swap freely (approximate ⇒
+    * intentionally NOT an oracle-hashed query).
+    */
+  def rollingDistinctActivesSketch(df: DataFrame, tsCol: String, idCol: String,
+      windowDays: Int, lgConfigK: Int = 14): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val perDay = df
+      .select(to_date(col(tsCol)).as("_d"), col(idCol).as("_id"))
+      .groupBy(col("_d")) // duplicate inserts are free in HLL: no pre-distinct
+      .agg(hll_sketch_agg(col("_id"), lit(lgConfigK)).as("_sk"))
+    val observed = perDay.select(col("_d").as("day"))
+    perDay
+      .select(col("_sk"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("_off"), col("_d"))
+      .select(col("_sk"), date_add(col("_d"), col("_off")).as("day"))
+      .join(observed, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("_sk")))
+        .as(s"active_${windowDays}d"))
+  }
 }

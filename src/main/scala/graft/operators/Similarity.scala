@@ -157,26 +157,87 @@ object Similarity {
       struct(dot(vec, typedLit(c.toSeq)).as("sim"), lit(i).as("cid"))
     }
 
-  /** The `nprobe` most-similar centroid ids of `vec`, best first —
-    * codegen'd (sort a nlist-element array per row, slice). Identical
-    * vectors always probe identical lists (same expression, same
-    * input), which is what makes planted-duplicate recovery exact.
+  /** Largest nlist the UNROLLED probe expression may embed: each
+    * centroid becomes its own literal DotProduct in the generated
+    * code, and past ~128 the method outgrows JIT limits. Beyond it
+    * [[ivfProbeIds]] switches to the LOOPED form.
     */
-  def ivfProbeIds(vec: Column, cents: Seq[Array[Double]], nprobe: Int): Column =
+  val LiteralNlistMax: Int = 128
+
+  /** Unrolled probe expression: one codegen'd DotProduct per centroid
+    * literal — the fastest form, bounded by [[LiteralNlistMax]].
+    */
+  private[graft] def ivfProbeIdsUnrolled(vec: Column, cents: Seq[Array[Double]],
+      nprobe: Int): Column =
     transform(
       slice(reverse(array_sort(array(centroidStructs(vec, cents): _*))),
         1, nprobe),
       s => s.getField("cid"))
 
+  /** Looped probe expression — the nlist > [[LiteralNlistMax]] scale
+    * path (r4 verdict ask #1): ALL centroids ship as ONE
+    * array-of-arrays literal object referenced by the plan (no
+    * per-centroid code is generated, so JIT method-size limits don't
+    * bind), and similarities come from a runtime `transform` loop
+    * over it. Still entirely ROW-LOCAL: no join, no shuffle, no
+    * grouped argmax — a 10⁹-vector corpus pays exactly one
+    * nlist·dim·8B plan constant (~2 MB at nlist=4096, dim=64; hoist
+    * into a broadcast variable behind a custom Expression if plans
+    * ever need to stay lean past that). Ordering semantics are
+    * IDENTICAL to the unrolled form: same struct(sim, cid) sort, same
+    * DotProduct values — the equivalence is spec-pinned.
+    */
+  private[graft] def ivfProbeIdsLooped(vec: Column, cents: Seq[Array[Double]],
+      nprobe: Int): Column = {
+    val centsLit = typedLit(cents.map(_.toSeq))
+    transform(
+      slice(reverse(array_sort(
+        transform(centsLit, (c, i) =>
+          struct(dot(vec, c).as("sim"), i.cast("int").as("cid"))))),
+        1, nprobe),
+      s => s.getField("cid"))
+  }
+
+  /** The `nprobe` most-similar centroid ids of `vec`, best first.
+    * Identical vectors always probe identical lists (same expression,
+    * same input), which is what makes planted-duplicate recovery
+    * exact. Dispatches on nlist: unrolled codegen ≤
+    * [[LiteralNlistMax]], single-literal loop beyond (bit-equal
+    * results either way).
+    */
+  def ivfProbeIds(vec: Column, cents: Seq[Array[Double]], nprobe: Int): Column =
+    if (cents.size <= LiteralNlistMax) ivfProbeIdsUnrolled(vec, cents, nprobe)
+    else ivfProbeIdsLooped(vec, cents, nprobe)
+
+  /** Fixed-point scale for Lloyd sums: 2²⁰. Per-component
+    * contributions floor to longs BEFORE summation, so accumulation
+    * is integer and ORDER-FREE — the same `v_milli` discipline as
+    * [[graft.functions.SeriesFunctions]] — making trained centroids
+    * bit-reproducible in any engine that can sum integers. This is
+    * what lets q_embed_ivf_topk be hash-checked against the DuckDB
+    * oracle (previously the one declared no-oracle entry): float
+    * Lloyd means depend on summation order across partitions;
+    * fixed-point longs do not. The ~1e-6 quantization of the
+    * centroid estimate is irrelevant to a quantizer (both engines
+    * share it exactly).
+    */
+  val LloydScale: Double = 1048576.0
+
   /** Train `nlist` spherical-ish k-means centroids with `iters` Lloyd
-    * rounds. Init is deterministic (the nlist vectors with smallest
-    * xxhash64(id)); each round is ONE assignment pass (pure
-    * expression) + ONE (cid, dim)-grouped mean — both map-side
-    * combined. At 100 TB train on a sample (`trainFraction`): the
-    * quantizer needs representative geometry, not every row.
+    * rounds. Deterministic and EXTERNALLY MIRRORABLE end to end:
+    * init picks the nlist vectors with the smallest
+    * [[graft.functions.MirrorHash]] rank (affine over the id-string
+    * fingerprint — exact DuckDB counterpart, unlike xxhash64), and
+    * each round is ONE assignment pass (pure expression) + ONE
+    * (cid, dim)-grouped FIXED-POINT sum ([[LloydScale]]) — both
+    * map-side combined. At 100 TB train on a sample
+    * (`trainFraction`): the quantizer needs representative geometry,
+    * not every row. (The sample filter itself stays xxhash64 — only
+    * the trainFraction=1.0 form is oracle-mirrored.)
     */
   def trainIvfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3, trainFraction: Double = 1.0): Seq[Array[Double]] = {
+    import graft.functions.{MirrorHash, TextFunctions}
     val all = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     // threshold on a 1e9 modulus, ceil'd and floored at 1: a coarse
     // modulus truncates tiny fractions to ZERO rows (ivfTopKAuto asks
@@ -188,7 +249,9 @@ object Similarity {
     } else all).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cents: Seq[Array[Double]] = vecs
-        .withColumn("h", xxhash64(col("id")))
+        .withColumn("h", MirrorHash.affine(
+          TextFunctions.fingerprint(col("id").cast("string")),
+          MirrorHash.a(MirrorHash.IvfSalt, 0), MirrorHash.b(MirrorHash.IvfSalt, 0)))
         .orderBy(col("h"), col("id"))
         .limit(nlist)
         .select(col("v")).collect()
@@ -201,13 +264,16 @@ object Similarity {
         val stats = assigned
           .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("cid"), col("pos"))
-          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .agg(sum(floor(col("x") * lit(LloydScale)).cast("long")).as("sx"),
+            count(lit(1)).as("n"))
           .collect()
         val next = cents.map(_.clone).toArray
         stats.foreach { r =>
           val cid = r.getInt(0)
           val pos = r.getInt(1)
-          next(cid)(pos) = r.getDouble(2) / r.getLong(3)
+          // one multiply + one divide, both correctly-rounded IEEE —
+          // the exact expression the DuckDB mirror replays
+          next(cid)(pos) = r.getLong(2).toDouble / (LloydScale * r.getLong(3))
         }
         cents = next.toSeq // empty clusters keep their previous centroid
         require(cents.forall(_.length == dim))
@@ -319,44 +385,66 @@ object Similarity {
   // parameter so bucket occupancy (per-query candidate work) stays
   // ~constant as the corpus grows, making total cost ~linear.
 
-  /** planes with expected bucket occupancy ≈ targetOccupancy:
-    * 2^planes ≈ n / targetOccupancy. Clamped to [4, 24] (24 ⇒ 16M
-    * buckets — past that, occupancy ≈ duplicate clusters anyway).
+  /** planes with expected bucket occupancy ≈ targetOccupancy: the
+    * smallest p with 2^p · targetOccupancy ≥ n. Clamped to [4, 24]
+    * (24 ⇒ 16M buckets — past that, occupancy ≈ duplicate clusters
+    * anyway). INTEGER arithmetic only — no log()/ceil() float step —
+    * so the DuckDB oracle can compute the identical plane count from
+    * the identical n (engine-vs-oracle agreement must not hinge on
+    * two libm implementations rounding ln() the same way at power-of-
+    * two boundaries).
     */
-  def autoPlanes(n: Long, targetOccupancy: Int = 256): Int =
-    math.max(4, math.min(24,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) /
-        math.log(2.0)).toInt))
+  def autoPlanes(n: Long, targetOccupancy: Int = 256): Int = {
+    var p = 0
+    while (p < 24 && (1L << p) * targetOccupancy < n) p += 1
+    math.max(4, p)
+  }
 
   /** IVF list count for ~targetOccupancy vectors per list, clamped to
-    * [16, 128]: centroids are embedded as codegen LITERALS
-    * (assignment needs no join), so very large nlist inflates the
-    * generated method past JIT limits — past the clamp, the right
-    * move is a broadcast centroid ARRAY instead of literals (and a
-    * real cluster's ANN index), documented rather than faked here.
+    * [16, 4096]. Up to [[LiteralNlistMax]] the probe expression
+    * unrolls centroid literals (fastest codegen); past it,
+    * [[ivfProbeIdsLooped]] carries all centroids as one plan constant
+    * — so the old 128-list / ~10⁶-vector design bound is gone. The
+    * 4096 cap is the plan-constant budget (~2 MB at dim 64), good to
+    * ~4M vectors per list-occupancy target ⇒ 10⁹⁺-vector corpora
+    * with occupancy raised accordingly; past that an external ANN
+    * index beats IVF-Flat regardless of engine.
     */
   def autoNlist(n: Long, targetOccupancy: Int = 1024): Int =
-    math.max(16, math.min(128,
+    math.max(16, math.min(4096,
       math.ceil(n.toDouble / targetOccupancy).toInt))
+
+  /** Corpus size for parameter sizing: the caller's `nHint` when
+    * given, else one count() job. Pass a hint whenever a cheaper
+    * source exists — [[graft.table.ChronoTable.rowCount]] reads it
+    * from manifest footer stats with NO scan (at 100 TB a sizing
+    * count() is a full pass over the corpus before any work), and a
+    * composed pipeline that already counted should not count twice.
+    */
+  private def sizeOf(embeddings: DataFrame, nHint: Option[Long]): Long =
+    nHint.getOrElse(embeddings.count())
 
   /** [[lshTopK]] with planes sized from the corpus ([[autoPlanes]]). */
   def lshTopKAuto(embeddings: DataFrame, idCol: String, vecCol: String,
-      k: Int, rotations: Int = 4, targetOccupancy: Int = 256): DataFrame =
+      k: Int, rotations: Int = 4, targetOccupancy: Int = 256,
+      nHint: Option[Long] = None): DataFrame =
     lshTopK(embeddings, idCol, vecCol, k,
-      autoPlanes(embeddings.count(), targetOccupancy), rotations)
+      autoPlanes(sizeOf(embeddings, nHint), targetOccupancy), rotations)
 
   /** [[lshPairs]] with planes sized from the corpus. */
   def lshPairsAuto(embeddings: DataFrame, idCol: String, vecCol: String,
-      rotations: Int = 4, targetOccupancy: Int = 256): DataFrame =
+      rotations: Int = 4, targetOccupancy: Int = 256,
+      nHint: Option[Long] = None): DataFrame =
     lshPairs(embeddings, idCol, vecCol,
-      autoPlanes(embeddings.count(), targetOccupancy), rotations)
+      autoPlanes(sizeOf(embeddings, nHint), targetOccupancy), rotations)
 
   /** [[ivfTopK]] with nlist sized from the corpus and training
     * sampled to ~200 vectors per centroid (Lloyd stats need no more).
     */
   def ivfTopKAuto(embeddings: DataFrame, idCol: String, vecCol: String,
-      k: Int, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val n = math.max(1L, embeddings.count())
+      k: Int, nprobe: Int = 4, iters: Int = 3,
+      nHint: Option[Long] = None): DataFrame = {
+    val n = math.max(1L, sizeOf(embeddings, nHint))
     val nlist = autoNlist(n)
     val tf = math.min(1.0, 200.0 * nlist / n)
     ivfTopK(embeddings, idCol, vecCol, k, nlist, nprobe, iters, tf)

@@ -79,7 +79,8 @@ final class ChronoTable private (
         FileEntry(f.get("path").asText, f.get("partition").asText,
           f.get("addedBy").asLong,
           Option(f.get("minTsUs")).map(_.asLong),
-          Option(f.get("maxTsUs")).map(_.asLong))
+          Option(f.get("maxTsUs")).map(_.asLong),
+          Option(f.get("rows")).map(_.asLong))
       }.toSeq
       val summary = n.get("summary").properties().asScala
         .map(e => e.getKey -> e.getValue.asText).toMap
@@ -116,6 +117,7 @@ final class ChronoTable private (
       fn.put("addedBy", f.addedBy)
       f.minTsUs.foreach(fn.put("minTsUs", _))
       f.maxTsUs.foreach(fn.put("maxTsUs", _))
+      f.rows.foreach(fn.put("rows", _))
     }
     val sm = node.putObject("summary")
     s.summary.foreach { case (k, v) => sm.put(k, v) }
@@ -191,9 +193,26 @@ final class ChronoTable private (
       val rel = target.relativize(p).toString
       val partition = Option(Paths.get(rel).getParent).map(_.toString).getOrElse("")
       val st = stats.get(rel)
-      FileEntry(s"batch_id=$sid/$rel", partition, sid, st.map(_._1), st.map(_._2))
+      FileEntry(s"batch_id=$sid/$rel", partition, sid, st.map(_._1), st.map(_._2),
+        footerRowCount(p))
     }
   }
+
+  /** Row count from the parquet FOOTER — driver-side metadata (one
+    * footer read per new file, like Iceberg's manifest record counts),
+    * NO Spark job. Feeds [[rowCount]], which lets parameter-sizing
+    * consumers (the auto-ANN paths) skip a full `count()` scan of the
+    * corpus. None if the footer is unreadable — the entry simply
+    * carries no count rather than failing the commit.
+    */
+  private def footerRowCount(p: Path): Option[Long] =
+    scala.util.Try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.toOption
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
@@ -409,6 +428,23 @@ final class ChronoTable private (
     else mapper.readTree(Files.readString(p)).get("lastSnapshotId").asLong
   }
 
+  /** Total live rows at `snapshotId` from manifest-recorded footer
+    * counts — O(files) driver-side metadata, NO data scan. None when
+    * any live file predates row-count recording (conservative: a
+    * partial sum must not masquerade as the corpus size).
+    */
+  def rowCountAt(snapshotId: Long): Option[Long] =
+    snapshot(snapshotId).flatMap { s =>
+      if (s.files.exists(_.rows.isEmpty)) None
+      else Some(s.files.flatMap(_.rows).sum)
+    }
+
+  /** [[rowCountAt]] the current snapshot — what parameter-sizing
+    * consumers (e.g. the auto-ANN paths' `nHint`) should pass instead
+    * of paying a full `count()` scan of the corpus.
+    */
+  def rowCount: Option[Long] = rowCountAt(currentSnapshotId)
+
   def setCheckpoint(name: String, lastSnapshotId: Long): Unit = {
     Files.createDirectories(ckptPath(name).getParent)
     atomicWrite(ckptPath(name), s"""{"lastSnapshotId": $lastSnapshotId}""")
@@ -425,7 +461,9 @@ object ChronoTable {
     * unverifiable outer-instance check.
     */
   final case class FileEntry(path: String, partition: String, addedBy: Long,
-      minTsUs: Option[Long] = None, maxTsUs: Option[Long] = None)
+      minTsUs: Option[Long] = None, maxTsUs: Option[Long] = None,
+      /** Footer-recorded row count (None in pre-r5 manifests). */
+      rows: Option[Long] = None)
 
   final case class Snapshot(
       id: Long,

@@ -35,4 +35,11 @@ object GraftShims {
   /** Unpersist the checkpoint blocks behind `df` (no-op otherwise). */
   def releaseCheckpoint(df: Dataset[_]): Unit =
     checkpointedRdd(df).foreach(_.unpersist(blocking = false))
+
+  /** Drain the listener bus (`private[spark]`) — lets specs that
+    * count jobs via a SparkListener assert deterministically instead
+    * of sleeping.
+    */
+  def drainListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -29,6 +29,22 @@ class EntrySpec extends SparkSuite {
     assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
   }
 
+  test("the 4x auto near-dup entry really exercises a DIFFERENT plane count") {
+    // guard on the guard: q_embed_neardup_lsh_auto_4x exists so the
+    // auto-sizing formula is hash-checked at a value other than the
+    // base query's — if dataset growth ever collapses the two onto
+    // the same plane count, this spec flags the entry as vacuous
+    import graft.operators.Similarity
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val duped = n + n / 10 // dupedVecs plants a copy of every 10th id
+    assert(Similarity.autoPlanes(4 * duped, 16) >
+      Similarity.autoPlanes(duped, 16),
+      s"4x replication no longer changes autoPlanes at n=$duped")
+    // and the sf0.01 gate corpus (same embeddings table size) too
+    assert(Similarity.autoPlanes(2200, 16) === 8)
+    assert(Similarity.autoPlanes(550, 16) === 6)
+  }
+
   test("derived transcript table: stable (conv_id, turn_idx) order, unique keys") {
     val t = TranscriptGen.fromEvents(spark, sfDir).cache()
     val n = t.count()

@@ -91,4 +91,62 @@ class SeriesFunctionsSpec extends SparkSuite {
       .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
     assert(out === Map("2024-01-01" -> 2L, "2024-01-02" -> 1L))
   }
+
+  test("counterRateBucketed: last-per-bucket, reset across buckets, real Δt") {
+    val df = Seq(
+      // hour 10: samples 5 then 9 (last = 9 @ 10:40)
+      ("u1", ts("2024-01-01 10:10:00"), 5.0, 1L),
+      ("u1", ts("2024-01-01 10:40:00"), 9.0, 2L),
+      // hour 11: last = 3609 @ 11:40 → increase 3600 over Δt = 1h real
+      ("u1", ts("2024-01-01 11:05:00"), 10.0, 3L),
+      ("u1", ts("2024-01-01 11:40:00"), 3609.0, 4L),
+      // hour 13 (gap hour 12): counter RESET to 2 → increase = 2,
+      // Δt = 2h real → 2000/7200 floors to 0
+      ("u1", ts("2024-01-01 13:40:00"), 2.0, 5L)
+    ).toDF("series", "ts", "value", "sample_id")
+    val out = SeriesFunctions
+      .counterRateBucketed(df, "series", "ts", "value", "1h", Seq("sample_id"))
+      .collect().map(r => (r.getTimestamp(1).toString,
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("2024-01-01 10:00:00.0", -1L, -1L),        // first bucket: no prior
+      ("2024-01-01 11:00:00.0", 3600000L, 1000L), // 3600 over 3600 s
+      ("2024-01-01 13:00:00.0", 2000L, 0L)))      // reset; Δt = 2h real
+  }
+
+  test("sketch rolling actives within 5% of exact at a 30-day window") {
+    // the >~2-week scale path: per-day HLL partials merge across the
+    // window, so the shuffle never multiplies by windowDays. Realistic
+    // cardinalities from the transcript fixture (events → conv/day
+    // pairs over a month of activity).
+    val events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val df = events.select($"ts", $"user_id")
+    val exact = SeriesFunctions.rollingDistinctActives(df, "ts", "user_id", 30)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    val approx = SeriesFunctions
+      .rollingDistinctActivesSketch(df, "ts", "user_id", 30)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(approx.keySet === exact.keySet,
+      "sketch path must report exactly the observed days")
+    exact.foreach { case (day, n) =>
+      val a = approx(day)
+      assert(math.abs(a - n) <= math.max(1L, (0.05 * n).toLong),
+        s"day $day: sketch $a vs exact $n drifts past 5%")
+    }
+  }
+
+  test("sketch rolling actives agrees on the toy window fixture semantics") {
+    // tiny cardinalities: HLL is exact; the windowing semantics
+    // (trailing window, unobserved-day drop) must match the exact op
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), "a"),
+      (ts("2024-01-01 11:00:00"), "a"),
+      (ts("2024-01-01 12:00:00"), "b"),
+      (ts("2024-01-03 09:00:00"), "a")
+    ).toDF("ts", "conv_id")
+    val out = SeriesFunctions.rollingDistinctActivesSketch(df, "ts", "conv_id", 3)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(out === Map("2024-01-01" -> 2L, "2024-01-03" -> 2L))
+  }
 }

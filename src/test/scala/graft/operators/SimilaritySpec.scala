@@ -156,7 +156,76 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.autoPlanes(Long.MaxValue) === 24)    // clamp ceiling
     assert(Similarity.autoNlist(1000L) === 16)             // clamp floor
     assert(Similarity.autoNlist(50000L) === 49)
-    assert(Similarity.autoNlist(10000000L) === 128)        // literal-codegen bound
+    // past LiteralNlistMax the LOOPED probe path carries the
+    // centroids as one plan constant — nlist keeps scaling
+    assert(Similarity.autoNlist(10000000L) === 4096)       // plan-constant cap
+    assert(Similarity.autoNlist(300000L) === 293)          // between the bounds
+  }
+
+  test("looped probe expression is bit-equal to the unrolled literal form") {
+    // the ONLY difference between the ≤128 and >128 IVF paths is the
+    // probe expression; pin their equality on every fixture vector
+    // at several nprobe values so the dispatch in ivfProbeIds is a
+    // pure performance choice, never a semantic one
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 20, iters = 2)
+    for (nprobe <- Seq(1, 3, 20)) {
+      val both = emb.select(
+        $"vec_id",
+        Similarity.ivfProbeIdsUnrolled(
+          col("embedding").cast("array<double>"), cents, nprobe).as("u"),
+        Similarity.ivfProbeIdsLooped(
+          col("embedding").cast("array<double>"), cents, nprobe).as("l"))
+      assert(both.filter(col("u") =!= col("l")).isEmpty,
+        s"probe paths diverged at nprobe=$nprobe")
+    }
+  }
+
+  test("nlist=512 looped IVF: runs past the literal-codegen bound, exact copies co-listed") {
+    // 2000 deterministic synthetic vectors (seeded — enough rows that
+    // nlist=512 init has 512 distinct seeds) + planted exact copies;
+    // the looped path must both EXECUTE (the old bound was a JIT
+    // method-size failure) and keep the provable planted-copy
+    // property (identical vectors share every centroid similarity)
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 2000L).map { id =>
+      (id, Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val dv = base.toDF("vec_id", "embedding").unionByName(
+      base.filter(_._1 % 100 == 0)
+        .map { case (id, v) => (id + 1000000L, v) }
+        .toDF("vec_id", "embedding"))
+    val pairs = Similarity.ivfPairs(dv, "vec_id", "embedding",
+      nlist = 512, iters = 1)
+    val got = Similarity.cosineNearDup(dv, "vec_id", "embedding", pairs, 0.95)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val planted = base.map(_._1).filter(_ % 100 == 0)
+      .map(id => (id, id + 1000000L)).toSet
+    assert(planted.subsetOf(got),
+      s"looped IVF missed planted copies: ${planted.diff(got)}")
+    // and the top-k surface also runs end to end at nlist > 128
+    val topk = Similarity.ivfTopK(dv, "vec_id", "embedding",
+      k = 3, nlist = 512, nprobe = 8, iters = 1)
+    assert(topk.groupBy($"qid").count().filter($"count" > 3).isEmpty)
+    assert(topk.count() > 0)
+  }
+
+  test("looped probe plan carries ONE centroid constant, not nlist literal dots") {
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 16, iters = 1)
+    def dots(c: org.apache.spark.sql.DataFrame): Int =
+      "dotproduct".r.findAllIn(
+        c.queryExecution.analyzed.toString.toLowerCase).length
+    val unrolled = emb.select(Similarity.ivfProbeIdsUnrolled(
+      col("embedding").cast("array<double>"), cents, 2).as("p"))
+    val looped = emb.select(Similarity.ivfProbeIdsLooped(
+      col("embedding").cast("array<double>"), cents, 2).as("p"))
+    assert(dots(unrolled) >= 16, "unrolled form should embed one dot per centroid")
+    assert(dots(looped) <= 2,
+      "looped form must not scale the plan with nlist")
+    // and no join was introduced: probing stays row-local
+    val p = looped.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange"), p)
   }
 
   test("auto variants equal the pinned operators at the auto-chosen parameter") {

@@ -63,6 +63,34 @@ class TierRoutingSpec extends SparkSuite {
     assert(files.exists(_.contains("serve/tier_1h")), files.toString)
   }
 
+  test("bucket-aligned turn-rate query routes to the tier scan, results equal raw") {
+    // the series-derivative routing case (r4 verdict ask #8): the
+    // cumulative turn counter's per-bucket increase is count(*), so
+    // turnRate emits the routable rollup shape — under the registered
+    // warehouse it must scan serve/tier_1h, not raw turns
+    val (rawDir, _) = setup
+    def rate() = graft.functions.SeriesFunctions.turnRate(
+      spark.read.parquet(rawDir), "conv_id", "ts", "1h")
+    val df = rate()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("sum(turn_cnt"),
+      s"turn-rate plan not routed to tier partials:\n$optimized")
+    val files = df.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(files.exists(_.contains("serve/tier_1h")),
+      s"expected a tier_1h scan, got $files")
+    val routed = df.as[(String, java.sql.Timestamp, Long, Long)].collect().toSet
+    TierRouting.clearRegistry()
+    val unrouted = rate().as[(String, java.sql.Timestamp, Long, Long)]
+      .collect().toSet
+    TierRouting.registerWarehouse(setup._1, setup._2)
+    assert(routed == unrouted && routed.nonEmpty,
+      "routed turn-rate diverged from the raw computation")
+  }
+
   test("routed results equal the unrouted computation, every tier") {
     Tier.cascade.foreach { tier =>
       val routed = rawQuery(tier)
