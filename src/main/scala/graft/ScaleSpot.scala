@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** sf1 scale spot-check (r3 verdict ask #10): run the headline query
@@ -28,14 +28,16 @@ object ScaleSpot {
     "q_rollup_30s", "q_align_join", "q_gapfill_1h", "q_cumulative_1d",
     "q_sessionize", "q_window_lag", "q_tree_depth", "q_tree_depth_doubling",
     "q_head_per_conv", "q_chunk_roundtrip", "q_dedup_exact",
-    "q_counter_rate", "q_rolling_actives_7d", "q_downsample_1h",
+    "q_counter_rate", "q_counter_rate_1h", "q_turn_rate_1h",
+    "q_rolling_actives_7d", "q_downsample_1h",
     "q_semi_join", "q_anti_join", "q_mode_tool",
     "q_text_stats", "q_lang_id", "q_tokenize", "q_log_templates",
     "q_minhash_lsh", "q_ngram_jaccard_lsh", "q_simhash",
     "q_neardup_components", "q_stratified_sample", "q_pack_shards",
     "q_decontaminate",
     "q_embed_lsh_topk", "q_embed_ivf_topk", "q_embed_neardup_lsh",
-    "q_embed_lsh_topk_auto", "q_embed_ivf_topk_auto", "q_embed_neardup_lsh_auto")
+    "q_embed_lsh_topk_auto", "q_embed_ivf_topk_auto", "q_embed_neardup_lsh_auto",
+    "q_embed_neardup_lsh_auto_4x")
 
   /** The ANN scale path proper: parameters sized from the corpus
     * ([[graft.operators.Similarity.autoPlanes]]/`autoNlist`), keeping
@@ -91,18 +93,32 @@ object ScaleSpot {
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
     // doc/vec strides leave headroom for the +10^6 planted-duplicate
-    // shift the dupedDocs/dupedVecs fixtures apply on top
+    // shift the dupedDocs/dupedVecs fixtures apply on top.
+    //
+    // CONTENT must be perturbed per copy, not replicated verbatim: a
+    // verbatim copy makes every document/vector a member of a
+    // factor-sized exact-duplicate clique, so every near-dup family's
+    // OUTPUT (candidate pairs, components edges) grows QUADRATICALLY
+    // in the factor — at 100x that is 5000 cliques × C(100,2) ≈ 25M
+    // forced pairs, which measures output blowup, not engine scaling
+    // (found the hard way: q_minhash_lsh read "33x" and components
+    // GC-killed the JVM). Real corpora grow with NEW content; the
+    // perturbations below are deterministic, distribution-preserving
+    // (text length/structure, vector norm), identity for copy 0, and
+    // make cross-copy content dissimilar.
     val maxDoc = spark.read.parquet(s"$src/documents.parquet")
       .agg(max(col("doc_id"))).head().getLong(0)
     copies(spark.read.parquet(s"$src/documents.parquet"), d => i =>
-      d.withColumn("doc_id", col("doc_id") + lit(i * (maxDoc + 1000001L))))
+      d.withColumn("doc_id", col("doc_id") + lit(i * (maxDoc + 1000001L)))
+        .withColumn("text", caesared(col("text"), i)))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     val maxVec = spark.read.parquet(s"$src/embeddings.parquet")
       .agg(max(col("vec_id"))).head().getLong(0)
     copies(spark.read.parquet(s"$src/embeddings.parquet"), e => i =>
-      e.withColumn("vec_id", col("vec_id") + lit(i * (maxVec + 1000001L))))
+      e.withColumn("vec_id", col("vec_id") + lit(i * (maxVec + 1000001L)))
+        .withColumn("embedding", rotatedVec(col("embedding"), i)))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
@@ -113,7 +129,34 @@ object ScaleSpot {
   }
 
   private def markerText(src: String, factor: Int): String =
-    s"src=$src factor=$factor"
+    s"src=$src factor=$factor content=perturbed-v1"
+
+  /** Per-copy character substitution (Caesar over each character
+    * class): copy 0 is the identity; other copies share length,
+    * whitespace structure, and token shape with the base text but
+    * have disjoint shingle sets — new documents, not clones.
+    */
+  private def caesared(text: Column, i: Int): Column =
+    if (i == 0) text else {
+      def rot(s: String) = { val n = i % s.length; s.drop(n) + s.take(n) }
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      val digits = "0123456789"
+      translate(text, lower + upper + digits,
+        rot(lower) + rot(upper) + rot(digits))
+    }
+
+  /** Per-copy cyclic rotation of the embedding array: copy 0 is the
+    * identity; rotations preserve the norm and component distribution
+    * while making cross-copy cosines ≈ 0 for generic vectors — new
+    * vectors, not clones.
+    */
+  private def rotatedVec(vec: Column, i: Int): Column = {
+    val d = size(vec)
+    val k = lit(i) % d
+    when(k === 0, vec)
+      .otherwise(concat(slice(vec, k + 1, d - k), slice(vec, lit(1), k)))
+  }
 
   /** Optional comma-separated subset for iterating on one query. */
   private def selected: Seq[String] =
@@ -170,6 +213,14 @@ object ScaleSpot {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // single-JVM at a 100x corpus: a long full-GC pause (the
+      // iterative 10⁷-edge components rounds) can outlast the default
+      // 10s heartbeat × 60 tolerance and kill the local "executor" —
+      // the run then dies of TIMEOUT, not memory. Widen both; a real
+      // cluster spreads the same heap across machines and keeps the
+      // defaults.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
