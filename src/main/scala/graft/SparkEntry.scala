@@ -8,7 +8,7 @@ import graft.compress.ChunkCodec
 import graft.datagen.TranscriptGen
 import graft.functions.{GapFill, TextFunctions}
 import graft.model.Tier
-import graft.operators.{AsOf, Components, Dedup, DynamicPivot, Multimodal, Similarity, TrainingSet, TreeDepth}
+import graft.operators.{AsOf, Components, Dedup, DynamicPivot, IntervalJoin, Multimodal, Similarity, TrainingSet, TreeDepth}
 import graft.rollup.Rollup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -687,6 +687,35 @@ object SparkEntry {
         "user_id", "ts", "value", "1h", Seq("event_id"))
         .select("user_id", "bucket_ts", "event_id", "v_milli")),
 
+    // --- point-in-interval overlap join: every event inside each
+    // incident's [start, start + (user%7+1)·10m) window, same
+    // event_type — bucket-grid equi-join, never a nested loop
+    // (PlanAuditSpec); incidents are every 97th event ---
+    "q_interval_join" -> ((s, dir) => {
+      val events = s.read.parquet(s"$dir/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type")
+      IntervalJoin.pointInInterval(
+          events, incidents(s, dir), "ts", "start_ts", "end_ts",
+          Seq("event_type"), "10m")
+        .groupBy("incident_id", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // --- interval×interval overlap join: deploy windows (every 89th
+    // event, (user%5+1)·15m) intersecting incident windows on the
+    // same event_type; overlap_us is exact integer micros ---
+    "q_interval_overlap" -> ((s, dir) =>
+      IntervalJoin.intervalOverlap(
+          deploys(s, dir), incidents(s, dir),
+          "deploy_id", "d_start", "d_end",
+          "incident_id", "start_ts", "end_ts",
+          Seq("event_type"), "10m")
+        .select(col("deploy_id"), col("incident_id"),
+          (unix_micros(least(col("d_end"), col("end_ts"))) -
+            unix_micros(greatest(col("d_start"), col("start_ts"))))
+            .as("overlap_us"))),
+
     // --- benchmark decontamination: train docs sharing a word-5-gram
     // with the planted eval split (doc_id % 13); dupedDocs plants
     // contaminated copies (ids % 91 + 1000000) the anti join keeps ---
@@ -708,6 +737,29 @@ object SparkEntry {
       .select(col("event_id").as("line_id"),
         concat(col("event_type"), lit(" user "), col("user_id").cast("string"),
           lit(" props "), col("props")).as("line"))
+
+  /** Incident-window fixture: every 97th event opens an incident on
+    * its event_type lasting (user_id % 7 + 1) × 10 minutes — shared
+    * by the interval-join queries and their oracle SQL.
+    */
+  private def incidents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .filter(pmod(col("event_id"), lit(97)) === 0)
+      .select(col("event_id").as("incident_id"), col("event_type"),
+        col("ts").cast("timestamp").as("start_ts"),
+        timestamp_micros(unix_micros(col("ts").cast("timestamp")) +
+          (pmod(col("user_id"), lit(7)) + 1) * lit(600000000L)).as("end_ts"))
+
+  /** Deploy-window fixture: every 89th event, (user_id % 5 + 1) × 15
+    * minutes, same derivation discipline as [[incidents]].
+    */
+  private def deploys(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .filter(pmod(col("event_id"), lit(89)) === 0)
+      .select(col("event_id").as("deploy_id"), col("event_type"),
+        col("ts").cast("timestamp").as("d_start"),
+        timestamp_micros(unix_micros(col("ts").cast("timestamp")) +
+          (pmod(col("user_id"), lit(5)) + 1) * lit(900000000L)).as("d_end"))
 
   /** documents ∪ re-id'd copies of every 7th doc — the duplicate
     * fixture shared by the dedup queries and their oracle SQL.
@@ -1383,6 +1435,36 @@ object SparkEntry {
           |JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day FROM turns) o
           |  ON o.day = v.day
           |GROUP BY 1""".stripMargin),
+
+      // the engine runs the bucket-grid equi-join; DuckDB's native
+      // range join checks the same point-in-interval semantics
+      "q_interval_join" ->
+        """WITH inc AS (
+          |  SELECT event_id AS incident_id, event_type, ts AS start_ts,
+          |    ts + to_minutes(CAST((user_id % 7 + 1) * 10 AS BIGINT)) AS end_ts
+          |  FROM events WHERE event_id % 97 = 0)
+          |SELECT i.incident_id, i.event_type,
+          |  count(*) AS n_events, count(DISTINCT e.user_id) AS n_users
+          |FROM inc i JOIN events e
+          |  ON e.event_type = i.event_type
+          |  AND e.ts >= i.start_ts AND e.ts < i.end_ts
+          |GROUP BY 1, 2""".stripMargin,
+
+      "q_interval_overlap" ->
+        """WITH inc AS (
+          |  SELECT event_id AS incident_id, event_type, ts AS start_ts,
+          |    ts + to_minutes(CAST((user_id % 7 + 1) * 10 AS BIGINT)) AS end_ts
+          |  FROM events WHERE event_id % 97 = 0),
+          |dep AS (
+          |  SELECT event_id AS deploy_id, event_type, ts AS d_start,
+          |    ts + to_minutes(CAST((user_id % 5 + 1) * 15 AS BIGINT)) AS d_end
+          |  FROM events WHERE event_id % 89 = 0)
+          |SELECT d.deploy_id, i.incident_id,
+          |  epoch_us(least(d.d_end, i.end_ts)) -
+          |    epoch_us(greatest(d.d_start, i.start_ts)) AS overlap_us
+          |FROM dep d JOIN inc i
+          |  ON d.event_type = i.event_type
+          |  AND d.d_start < i.end_ts AND i.start_ts < d.d_end""".stripMargin,
 
       // one-window reference semantics; the engine runs (and this
       // thereby hash-checks) the bucketed two-level scale plan

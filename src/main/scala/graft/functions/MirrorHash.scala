@@ -46,6 +46,7 @@ object MirrorHash {
   val SimHashSalt: Long = 0x53696D4861736CL // "SimHasl"
   val SampleSalt: Long = 0x53616D706C65L    // "Sample" — TrainingSet ranks
   val IvfSalt: Long = 0x49564661736CL       // "IVFasl" — k-means init order
+  val CmsSalt: Long = 0x436D536B65746368L   // "CmSketch" — count-min rows
 
   /** `(a·fp + b) mod P` as a Column (fp must be a fingerprint in
     * [0, P): the product stays < 2⁶²).
