@@ -8,7 +8,7 @@ import graft.compress.ChunkCodec
 import graft.datagen.TranscriptGen
 import graft.functions.{GapFill, TextFunctions}
 import graft.model.Tier
-import graft.operators.{AsOf, Components, Dedup, DynamicPivot, IntervalJoin, Multimodal, Similarity, TrainingSet, TreeDepth}
+import graft.operators.{AsOf, Components, Dedup, DynamicPivot, IntervalJoin, Multimodal, Similarity, Sketches, TrainingSet, TreeDepth}
 import graft.rollup.Rollup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -716,6 +716,51 @@ object SparkEntry {
             unix_micros(greatest(col("d_start"), col("start_ts"))))
             .as("overlap_us"))),
 
+    // --- count-min heavy hitters: document tokens clearing 1% of
+    // the stream, estimated from a 4x512 sketch (exact integer
+    // counters, MirrorHash rows — DuckDB builds the bit-identical
+    // sketch, so estimates hash-match including collision slack) ---
+    "q_cms_heavy_hitters" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      Sketches.cmsHeavyHitters(toks,
+        TextFunctions.fingerprint(col("tok")), Seq("tok"),
+        depth = 4, width = 512, minSupportPermille = 10)
+    }),
+
+    // --- rolling z-score anomalies: event values > 3 sigma from
+    // their own trailing-50 baseline per event_type series — the
+    // cross-multiplied integer inequality, so flags hash-match ---
+    "q_anomaly_zscore" -> ((s, dir) =>
+      graft.functions.SeriesFunctions.rollingZScoreFlags(
+          s.read.parquet(s"$dir/events.parquet"),
+          "event_type", "ts", "value",
+          lookback = 50, kNum = 3, kDen = 1, minPoints = 20,
+          orderCols = Seq("event_id"))
+        .filter(col("is_anomaly"))
+        .select("event_id", "event_type", "v_milli", "n_baseline")),
+
+    // --- PII scrub: planted emails/phones/SSNs/cards/IPs redact to
+    // category tokens with per-category audit counts; patterns live
+    // in TextFunctions.piiPatterns (one authority, RE2-compatible,
+    // so the oracle applies the identical regexes) ---
+    "q_pii_redact" -> ((s, dir) => {
+      val pd = piiDocs(s, dir)
+      pd.select(col("doc_id") +:
+        TextFunctions.redactPii(col("text")).as("redacted") +:
+        TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // --- Gopher-style repetition quality signals: duplicate-token /
+    // top-token / top-bigram fractions per doc, pure per-row array
+    // algebra (no shuffle) — catches boilerplate and generation
+    // loops that exact dedup can't ---
+    "q_repetition_stats" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id") +:
+          TextFunctions.repetitionStats(col("text"))
+            .map { case (n, c) => c.as(n) }: _*)),
+
     // --- benchmark decontamination: train docs sharing a word-5-gram
     // with the planted eval split (doc_id % 13); dupedDocs plants
     // contaminated copies (ids % 91 + 1000000) the anti join keeps ---
@@ -760,6 +805,32 @@ object SparkEntry {
         col("ts").cast("timestamp").as("d_start"),
         timestamp_micros(unix_micros(col("ts").cast("timestamp")) +
           (pmod(col("user_id"), lit(5)) + 1) * lit(900000000L)).as("d_end"))
+
+  /** Documents with deterministically planted PII appended (emails
+    * every 3rd doc, phones every 5th, SSNs every 11th, cards every
+    * 13th, IPs every 17th — all derived from doc_id), shared by the
+    * redaction query and its oracle SQL. The driver corpus itself is
+    * PII-free, so the scrub needs planted targets to prove anything.
+    */
+  private def piiDocs(s: SparkSession, dir: String): DataFrame = {
+    val last4 = lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" mail u"), col("doc_id").cast("string"), lit("@host"),
+            pmod(col("doc_id"), lit(7)).cast("string"), lit(".net")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" call 202-555-"), last4)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" ssn 987-65-"), last4)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit(" card 4111-1111-1111-"), last4)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".0."), (pmod(col("doc_id"), lit(200)) + 1).cast("string")))
+          .otherwise(lit(""))).as("text"))
+  }
 
   /** documents ∪ re-id'd copies of every 7th doc — the duplicate
     * fixture shared by the dedup queries and their oracle SQL.
@@ -1501,7 +1572,131 @@ object SparkEntry {
            |        WHERE len(t) >= 5))
            |SELECT t.doc_id, count(*) AS n_hits
            |FROM tng t JOIN eng e ON e.ngram = t.ngram
-           |GROUP BY 1""".stripMargin)
+           |GROUP BY 1""".stripMargin,
+
+      "q_cms_heavy_hitters" -> cmsOracleSql(depth = 4, width = 512,
+        permille = 10),
+
+      // the engine's cross-multiplied integer z-score rule verbatim:
+      // kDen^2 (n x - S1)^2 > kNum^2 (n S2 - S1^2), trailing frame
+      "q_anomaly_zscore" ->
+        """WITH base AS (
+          |  SELECT event_id, event_type, ts,
+          |    CAST(floor(value * 1000) AS BIGINT) AS v_milli
+          |  FROM events),
+          |win AS (
+          |  SELECT event_id, event_type, v_milli,
+          |    count(v_milli) OVER w AS n,
+          |    sum(v_milli) OVER w AS s1,
+          |    sum(v_milli * v_milli) OVER w AS s2
+          |  FROM base
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+          |               ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+          |SELECT event_id, event_type, v_milli, n AS n_baseline
+          |FROM win
+          |WHERE n >= 20
+          |  AND (n * v_milli - s1) * (n * v_milli - s1)
+          |      > 9 * (n * s2 - s1 * s1)""".stripMargin,
+
+      "q_pii_redact" -> piiOracleSql,
+
+      // list-lambda mirror of TextFunctions.repetitionStats: same
+      // nested count-per-distinct folds, same floor-millis ratios
+      "q_repetition_stats" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, l, len(l) AS n,
+          |    CASE WHEN len(l) > 1 THEN
+          |      list_transform(generate_series(1, len(l) - 1),
+          |        i -> l[i] || ' ' || l[i + 1])
+          |    ELSE [] END AS bg
+          |  FROM t)
+          |SELECT doc_id,
+          |  CASE WHEN n > 0 THEN CAST(floor(1000.0 * (n - len(list_distinct(l))) / n) AS BIGINT)
+          |    ELSE 0 END AS dup_tok_frac_millis,
+          |  CASE WHEN n > 0 THEN CAST(floor(1000.0 * list_max(
+          |      list_transform(list_distinct(l),
+          |        t -> len(list_filter(l, x -> x = t)))) / n) AS BIGINT)
+          |    ELSE 0 END AS top_tok_frac_millis,
+          |  CASE WHEN n > 1 THEN CAST(floor(1000.0 * list_max(
+          |      list_transform(list_distinct(bg),
+          |        t -> len(list_filter(bg, x -> x = t)))) / (n - 1)) AS BIGINT)
+          |    ELSE 0 END AS top_bigram_frac_millis
+          |FROM b""".stripMargin)
+  }
+
+  /** DuckDB mirror of [[piiDocs]] + the TextFunctions scrub: the
+    * regexes come from the SAME `piiPatterns` list the engine
+    * applies (RE2-compatible subset by construction), the planted
+    * fixture is rebuilt with string concatenation, and counts use
+    * regexp_extract_all length (same non-overlapping successive-match
+    * rule as Java's find loop / Spark's regexp_count).
+    */
+  private def piiOracleSql: String = {
+    val pats = graft.functions.TextFunctions.piiPatterns
+    val redacted = pats.foldLeft("text") { case (acc, (_, pat, token)) =>
+      s"regexp_replace($acc, '$pat', '$token', 'g')"
+    }
+    val countCols = pats.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS pii_$name"
+    }.mkString(",\n  ")
+    s"""WITH pd AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' mail u' || CAST(doc_id AS VARCHAR)
+       |         || '@host' || CAST(doc_id % 7 AS VARCHAR) || '.net' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' call 202-555-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' ssn 987-65-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0 THEN ' card 4111-1111-1111-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    || CASE WHEN doc_id % 17 = 0 THEN ' from 10.'
+       |         || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+       |         || CAST(doc_id % 200 + 1 AS VARCHAR) ELSE '' END
+       |    AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $redacted AS redacted,
+       |  $countCols
+       |FROM pd""".stripMargin
+  }
+
+  /** Bit-exact DuckDB mirror of [[graft.operators.Sketches]] heavy
+    * hitters over document tokens: builds the identical 4x512 sketch
+    * (same affine row constants from the same splitmix64 stream),
+    * probes it with the same min-of-rows rule, and applies the same
+    * integer support threshold — estimates INCLUDING collision slack
+    * hash-match, which is what makes a sketch oracle-checkable.
+    */
+  private def cmsOracleSql(depth: Int, width: Int, permille: Int): String = {
+    import graft.functions.MirrorHash
+    def rowSelects(src: String, extra: String): String =
+      (0 until depth).map { i =>
+        val aa = MirrorHash.a(MirrorHash.CmsSalt, i)
+        val bb = MirrorHash.b(MirrorHash.CmsSalt, i)
+        s"SELECT $extra$i AS cms_row, " +
+          s"${MirrorHash.affineSql("fp", aa, bb)} % $width AS cms_bucket " +
+          s"FROM $src"
+      }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |fp AS (SELECT tok, ${fingerprintSql("tok")} AS fp FROM toks),
+       |sketch AS (
+       |  SELECT cms_row, cms_bucket, count(*) AS cnt FROM (
+       |  ${rowSelects("fp", "")}) GROUP BY 1, 2),
+       |keys AS (SELECT DISTINCT tok, fp FROM fp),
+       |probes AS (
+       |  ${rowSelects("keys", "tok, ")}),
+       |est AS (
+       |  SELECT p.tok, min(coalesce(s.cnt, 0)) AS cms_est
+       |  FROM probes p LEFT JOIN sketch s USING (cms_row, cms_bucket)
+       |  GROUP BY 1),
+       |total AS (SELECT count(*) AS t FROM toks)
+       |SELECT tok, cms_est FROM est, total
+       |WHERE cms_est * 1000 >= t * $permille""".stripMargin
   }
 
   /** The shared pattern + line fixture the template oracles splice. */

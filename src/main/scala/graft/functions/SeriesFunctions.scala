@@ -219,4 +219,53 @@ object SeriesFunctions {
       .agg(hll_sketch_estimate(hll_union_agg(col("_sk")))
         .as(s"active_${windowDays}d"))
   }
+
+  /** Rolling z-score anomaly flags: mark samples deviating more than
+    * k·σ from the mean of their own trailing window — the standard
+    * streaming-metrics outlier rule (the reference only renders
+    * series; flagging them is the first question an operator asks of
+    * such feeds). Trailing-only (the current sample never enters its
+    * own baseline), so a level-shifted sample cannot mask itself.
+    *
+    * Determinism/oracle design: `|x − μ| > (kNum/kDen)·σ` is
+    * evaluated as the cross-multiplied INTEGER inequality
+    *
+    * {{{ kDen²·(n·x − S1)² > kNum²·(n·S2 − S1²) }}}
+    *
+    * over `v_milli` fixed-point values (S1 = Σv, S2 = Σv² across the
+    * window) — no sqrt, no float accumulation, so flags hash-match a
+    * SQL oracle bit-exactly. Bounds: |v_milli| ≤ V keeps every term
+    * under 2⁶³ while n·V² · kNum² < 2⁶³ — at n=50, k=3 that allows
+    * |v| up to ~4.5·10⁶ (engine values are ≤ 5·10⁵).
+    *
+    * Windows with fewer than `minPoints` baseline samples yield a
+    * null flag (no baseline, not "normal"). One shuffle on the
+    * series key; emits `v_milli`, `n_baseline`, `is_anomaly`.
+    *
+    * @param orderCols unique tiebreak columns after `tsCol`, so the
+    *        walk is deterministic under equal timestamps
+    */
+  def rollingZScoreFlags(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, lookback: Int, kNum: Int, kDen: Int,
+      minPoints: Int, orderCols: Seq[String]): DataFrame = {
+    require(lookback >= 1, s"lookback must be >= 1, got $lookback")
+    require(kNum >= 1 && kDen >= 1, s"k must be positive: $kNum/$kDen")
+    require(minPoints >= 2 && minPoints <= lookback,
+      s"minPoints must be in [2, lookback]: $minPoints")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((tsCol +: orderCols).map(col): _*)
+      .rowsBetween(-lookback, -1)
+    val dev = col("_n") * col("v_milli") - col("_s1")
+    val varTerm = col("_n") * col("_s2") - col("_s1") * col("_s1")
+    df.withColumn("v_milli", floor(col(valCol) * lit(1000.0)).cast("long"))
+      .withColumn("_n", count(col("v_milli")).over(w))
+      .withColumn("_s1", sum(col("v_milli")).over(w))
+      .withColumn("_s2", sum(col("v_milli") * col("v_milli")).over(w))
+      .withColumn("n_baseline", col("_n"))
+      .withColumn("is_anomaly",
+        when(col("_n") < minPoints, lit(null).cast("boolean"))
+          .otherwise(lit(kDen.toLong * kDen) * dev * dev >
+            lit(kNum.toLong * kNum) * varTerm))
+      .drop("_n", "_s1", "_s2")
+  }
 }

@@ -128,4 +128,73 @@ object TextFunctions {
     val winner = greatest(structs: _*)
     when(winner.getField("hits") > 0, winner.getField("lang")).otherwise(lit("und"))
   }
+
+  /** PII redaction patterns, applied IN THIS ORDER (most-specific
+    * digit shapes first, so an SSN or card number is claimed whole
+    * before the looser phone shape can eat a prefix of it). Every
+    * pattern is written in the common subset of Java regex and RE2
+    * (character classes, bounded repetition, `\b` — no lookaround,
+    * no backreferences), so the DuckDB oracle applies the IDENTICAL
+    * patterns and redacted text hash-matches. Counts are per-category
+    * over the ORIGINAL text (order-independent); replacement is
+    * sequential.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("ssn",   "\\b\\d{3}-\\d{2}-\\d{4}\\b",                  "<SSN>"),
+    ("cc",    "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b",  "<CC>"),
+    ("phone", "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b",            "<PHONE>"),
+    ("ip",    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"))
+
+  /** Text with every [[piiPatterns]] match replaced by its category
+    * token — the pre-training scrub pass. Pure codegen'd
+    * regexp_replace chain: per-row, no shuffle, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (_, pat, token)) =>
+      regexp_replace(acc, pat, token)
+    }
+
+  /** Per-category match counts on the original text (audit columns:
+    * "how much PII did the scrub remove, of what kind"), named
+    * `pii_<category>`. Integral, order-independent.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, pat, _) =>
+      s"pii_$name" -> regexp_count(text, lit(pat)).cast("long")
+    }
+
+  /** Intra-document repetition signals — the Gopher-family quality
+    * rules ("fraction of duplicate tokens / most-common token /
+    * most-common 2-gram") that catch boilerplate and degenerate
+    * generation loops exact dedup can't (the document is unique, its
+    * CONTENT is repetitive). All per-row array algebra inside
+    * whole-stage codegen: nested HOF lambdas, no shuffle, no UDF —
+    * cost is O(distinct·n) per row, bounded by document length, and
+    * embarrassingly parallel at any corpus size. Outputs are
+    * floor-millis of exact small-integer ratios, so they hash-match
+    * the DuckDB list-lambda mirror bit-exactly.
+    */
+  def repetitionStats(text: Column): Seq[(String, Column)] = {
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    val uniq = array_distinct(toks)
+    val topTokCnt = array_max(transform(uniq,
+      t => size(filter(toks, x => x === t))))
+    // sequence() flips to DESCENDING when start > stop — guard n <= 1
+    // with an explicit empty array, never sequence(1, 0)
+    val bigrams = when(n > 1,
+      transform(sequence(lit(1), n - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val topBigramCnt = array_max(transform(array_distinct(bigrams),
+      b => size(filter(bigrams, x => x === b))))
+    Seq(
+      "dup_tok_frac_millis" -> when(n > 0,
+        floor(lit(1000.0) * (n - size(uniq)) / n)).otherwise(lit(0)).cast("long"),
+      "top_tok_frac_millis" -> when(n > 0,
+        floor(lit(1000.0) * topTokCnt / n)).otherwise(lit(0)).cast("long"),
+      "top_bigram_frac_millis" -> when(n > 1,
+        floor(lit(1000.0) * topBigramCnt / (n - 1))).otherwise(lit(0)).cast("long"))
+  }
 }
