@@ -37,7 +37,10 @@ object ScaleSpot {
     "q_decontaminate",
     "q_embed_lsh_topk", "q_embed_ivf_topk", "q_embed_neardup_lsh",
     "q_embed_lsh_topk_auto", "q_embed_ivf_topk_auto", "q_embed_neardup_lsh_auto",
-    "q_embed_neardup_lsh_auto_4x")
+    "q_embed_neardup_lsh_auto_4x",
+    // r5 additions: interval joins, sketch, anomaly, text scrubs, EWMA
+    "q_interval_join", "q_interval_overlap", "q_cms_heavy_hitters",
+    "q_anomaly_zscore", "q_pii_redact", "q_repetition_stats", "q_ewma")
 
   /** The ANN scale path proper: parameters sized from the corpus
     * ([[graft.operators.Similarity.autoPlanes]]/`autoNlist`), keeping

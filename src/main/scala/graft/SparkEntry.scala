@@ -751,6 +751,17 @@ object SparkEntry {
         TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // --- exact fixed-point EWMA smoothing per (event_type, user)
+    // series, alpha = 0.2 — the sequential recurrence folded inside
+    // one aggregate() per series (bounded-series contract); the
+    // oracle replays the identical integer chain recursively ---
+    "q_ewma" -> ((s, dir) =>
+      graft.functions.SeriesFunctions.ewmaSmooth(
+          s.read.parquet(s"$dir/events.parquet"),
+          Seq("event_type", "user_id"), "ts", "value",
+          aNum = 2, aDen = 10, orderCols = Seq("event_id"))
+        .select("event_type", "user_id", "event_id", "v_milli", "ewma_milli")),
+
     // --- Gopher-style repetition quality signals: duplicate-token /
     // top-token / top-bigram fractions per doc, pure per-row array
     // algebra (no shuffle) — catches boilerplate and generation
@@ -1599,6 +1610,28 @@ object SparkEntry {
           |      > 9 * (n * s2 - s1 * s1)""".stripMargin,
 
       "q_pii_redact" -> piiOracleSql,
+
+      // hand-built recursive oracle (WITH RECURSIVE must lead the CTE
+      // list): replays the engine's exact integer EWMA chain — same
+      // fixed-point values, same floor(double/aDen) step
+      "q_ewma" ->
+        """WITH RECURSIVE pts AS (
+          |  SELECT event_type, user_id, event_id,
+          |    CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+          |    row_number() OVER (PARTITION BY event_type, user_id
+          |                       ORDER BY ts, event_id) AS rn
+          |  FROM events),
+          |r AS (
+          |  SELECT event_type, user_id, event_id, v_milli, rn,
+          |    v_milli AS ewma_milli
+          |  FROM pts WHERE rn = 1
+          |  UNION ALL
+          |  SELECT p.event_type, p.user_id, p.event_id, p.v_milli, p.rn,
+          |    CAST(floor((2 * p.v_milli + 8 * r.ewma_milli) / 10.0) AS BIGINT)
+          |  FROM pts p JOIN r ON p.event_type = r.event_type
+          |    AND p.user_id = r.user_id AND p.rn = r.rn + 1)
+          |SELECT event_type, user_id, event_id, v_milli, ewma_milli
+          |FROM r""".stripMargin,
 
       // list-lambda mirror of TextFunctions.repetitionStats: same
       // nested count-per-distinct folds, same floor-millis ratios

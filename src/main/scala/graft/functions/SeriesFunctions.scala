@@ -220,6 +220,56 @@ object SeriesFunctions {
         .as(s"active_${windowDays}d"))
   }
 
+  /** Exact exponentially-weighted moving average per series — the
+    * standard monitoring smoother (`avg_over_time`'s recency-weighted
+    * sibling). EWMA is inherently sequential (each value depends on
+    * the previous smoothed value), which no window frame expresses;
+    * here each series is collected into ONE ordered array and folded
+    * with `aggregate()` — a per-series scan, embarrassingly parallel
+    * ACROSS series. That makes this a BOUNDED-SERIES operator (same
+    * contract as the collect/pack family: per-conversation
+    * transcripts, per-(metric,entity) feeds); for unbounded series
+    * downsample first ([[counterRateBucketed]]'s bucket-last trick)
+    * so the array is buckets, not samples.
+    *
+    * Determinism/oracle design: α = aNum/aDen rational, the
+    * recurrence is
+    *
+    * {{{ s₀ = v₀;  sₜ = floor((aNum·vₜ + (aDen−aNum)·sₜ₋₁) / aDen) }}}
+    *
+    * over `v_milli` fixed point. Every intermediate < 2⁵² so the
+    * double division is exact-then-floored identically in any IEEE
+    * engine — a DuckDB recursive CTE replays the identical chain.
+    *
+    * @param orderCols unique tiebreaks after `tsCol` (fold order must
+    *        be total or the chain itself is nondeterministic)
+    */
+  def ewmaSmooth(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, aNum: Int, aDen: Int,
+      orderCols: Seq[String]): DataFrame = {
+    require(aNum >= 1 && aNum <= aDen, s"alpha must be in (0, 1]: $aNum/$aDen")
+    require(aDen <= 1000, s"aDen above 1000 risks the 2^52 exactness bound: $aDen")
+    val pt = struct((tsCol +: orderCols).map(col) :+
+      floor(col(valCol) * lit(1000.0)).cast("long").as("v_milli"): _*)
+    val step = (acc: org.apache.spark.sql.Column,
+        x: org.apache.spark.sql.Column) => concat(acc, array(
+      when(size(acc) === 0, x.getField("v_milli"))
+        .otherwise(floor(
+          (lit(aNum.toLong) * x.getField("v_milli") +
+            lit((aDen - aNum).toLong) * element_at(acc, -1)).cast("double") /
+            lit(aDen.toDouble)))))
+    df.select(keyCols.map(col) :+ pt.as("_pt"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col("_pt"))).as("_pts"))
+      .withColumn("_ew", aggregate(col("_pts"), typedlit(Seq.empty[Long]), step))
+      .select(keyCols.map(col) :+
+        explode(arrays_zip(col("_pts"), col("_ew"))).as("_z"): _*)
+      .select(keyCols.map(col) ++
+        (tsCol +: orderCols).map(c => col(s"_z._pts.$c").as(c)) :+
+        col("_z._pts.v_milli").as("v_milli") :+
+        col("_z._ew").as("ewma_milli"): _*)
+  }
+
   /** Rolling z-score anomaly flags: mark samples deviating more than
     * k·σ from the mean of their own trailing window — the standard
     * streaming-metrics outlier rule (the reference only renders

@@ -205,6 +205,49 @@ class PlanAuditSpec extends SparkSuite {
       s"components assembly has an all-pairs join:\n$p")
   }
 
+  test("interval joins stay equi joins on the bucket grid, never nested loops") {
+    // a raw range predicate (p.ts BETWEEN i.start AND i.end) has no
+    // equi key and plans as BNLJ — the bucket grid exists to prevent
+    // exactly that
+    Seq("q_interval_join", "q_interval_overlap").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to a range/nested-loop join:\n$p")
+      assert(p.contains("Join"), p)
+    }
+  }
+
+  test("q_cms_heavy_hitters probes the sketch via broadcast with partial aggregation") {
+    val p = plan("q_cms_heavy_hitters")
+    // the sketch side is <= depth x width rows; probing must never
+    // shuffle the key stream against it
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"sketch probe not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), s"sketch build lost map-side combine:\n$p")
+  }
+
+  test("q_anomaly_zscore is one window pass, never a self-join") {
+    val p = plan("q_anomaly_zscore")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"z-score grew a join:\n$p")
+  }
+
+  test("q_ewma is one grouped fold (single shuffle), never a self-join or window ping-pong") {
+    val p = plan("q_ewma")
+    assert(!p.contains("Join"), s"ewma grew a join:\n$p")
+    assert(p.contains("partial_") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), s"ewma lost its grouped fold:\n$p")
+  }
+
+  test("per-row text ops (PII scrub, repetition stats) plan with zero shuffles") {
+    Seq("q_pii_redact", "q_repetition_stats").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q should be embarrassingly parallel but shuffles:\n$p")
+    }
+  }
+
   test("tier reads through ChronoTable push filters to parquet") {
     import org.apache.spark.sql.functions._
     val wh = java.nio.file.Files.createTempDirectory("graft-audit-").toString
