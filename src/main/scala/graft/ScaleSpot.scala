@@ -40,7 +40,8 @@ object ScaleSpot {
     "q_embed_neardup_lsh_auto_4x",
     // r5 additions: interval joins, sketch, anomaly, text scrubs, EWMA
     "q_interval_join", "q_interval_overlap", "q_cms_heavy_hitters",
-    "q_anomaly_zscore", "q_pii_redact", "q_repetition_stats", "q_ewma")
+    "q_anomaly_zscore", "q_pii_redact", "q_repetition_stats", "q_ewma",
+    "q_histogram_p90", "q_cohort_retention")
 
   /** The ANN scale path proper: parameters sized from the corpus
     * ([[graft.operators.Similarity.autoPlanes]]/`autoNlist`), keeping

@@ -751,6 +751,24 @@ object SparkEntry {
         TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // --- Prometheus-style bucketed p90 per (event_type, day): a
+    // fixed le-ladder grouped count (ladder is a codegen'd when-
+    // chain, never a join) then interpolation over the reduced
+    // frame — the latency question tier rollups don't answer ---
+    "q_histogram_p90" -> ((s, dir) =>
+      graft.functions.Histograms.quantile(
+        s.read.parquet(s"$dir/events.parquet"),
+        Seq("event_type"), "ts", "value", "1d",
+        HistLadder, qNum = 9, qDen = 10)),
+
+    // --- cohort retention matrix: users bucketed by first-activity
+    // day, cells = distinct actives at each day offset + per-mille
+    // rate vs the day-0 cohort size ---
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.operators.Cohorts.retention(
+        s.read.parquet(s"$dir/events.parquet"),
+        "ts", "user_id", maxOffsetDays = 30)),
+
     // --- exact fixed-point EWMA smoothing per (event_type, user)
     // series, alpha = 0.2 — the sequential recurrence folded inside
     // one aggregate() per series (bounded-series contract); the
@@ -1611,6 +1629,28 @@ object SparkEntry {
 
       "q_pii_redact" -> piiOracleSql,
 
+      "q_histogram_p90" -> histogramOracleSql(HistLadder, 9, 10),
+
+      "q_cohort_retention" ->
+        """WITH acts AS (
+          |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+          |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+          |f AS (SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY 1),
+          |cells AS (
+          |  SELECT f.cohort_day,
+          |    CAST(datediff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+          |    count(DISTINCT a.user_id) AS active_users
+          |  FROM acts a JOIN f ON a.user_id = f.user_id
+          |  WHERE datediff('day', f.cohort_day, a.day) <= 30
+          |  GROUP BY 1, 2)
+          |SELECT cohort_day, day_offset, active_users, cohort_size,
+          |  CAST(floor(1000.0 * active_users / cohort_size) AS BIGINT)
+          |    AS retained_permille
+          |FROM (SELECT *,
+          |        max(CASE WHEN day_offset = 0 THEN active_users END)
+          |          OVER (PARTITION BY cohort_day) AS cohort_size
+          |      FROM cells)""".stripMargin,
+
       // hand-built recursive oracle (WITH RECURSIVE must lead the CTE
       // list): replays the engine's exact integer EWMA chain — same
       // fixed-point values, same floor(double/aDen) step
@@ -1694,6 +1734,53 @@ object SparkEntry {
        |  $redacted AS redacted,
        |  $countCols
        |FROM pd""".stripMargin
+  }
+
+  /** The le ladder shared by q_histogram_p90 and its oracle (events
+    * values are ≤ ~490, so the top rung covers; the overflow branch
+    * still exists on both sides).
+    */
+  private val HistLadder: Seq[Double] = Seq(1.0, 5.0, 10.0, 50.0, 100.0, 500.0)
+
+  /** DuckDB mirror of [[graft.functions.Histograms]]: identical
+    * ladder CASE chain, identical cumulative/total windows, and the
+    * SAME float op sequence — rank is `(qNum·total)/qDen`, the
+    * interpolation `lo + (le−lo)·(rank−cumPrev)/cnt` — so
+    * floor-millis estimates hash-match.
+    */
+  private def histogramOracleSql(ladder: Seq[Double], qNum: Int, qDen: Int): String = {
+    val leCase = ladder.map(le => s"WHEN value <= $le THEN CAST($le AS DOUBLE)")
+      .mkString("\n      ", "\n      ", "\n      ") +
+      "ELSE CAST('infinity' AS DOUBLE)"
+    val loCase = ladder.zip(0.0 +: ladder.init)
+      .map { case (le, prev) => s"WHEN le = $le THEN CAST($prev AS DOUBLE)" }
+      .mkString("\n        ", "\n        ", "\n        ") +
+      s"ELSE CAST(${ladder.last} AS DOUBLE)"
+    s"""WITH s AS (
+       |  SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+       |    CASE $leCase END AS le
+       |  FROM events WHERE value IS NOT NULL),
+       |b AS (
+       |  SELECT event_type, bucket_ts, le, count(*) AS cnt
+       |  FROM s GROUP BY 1, 2, 3),
+       |c AS (
+       |  SELECT *,
+       |    sum(cnt) OVER (PARTITION BY event_type, bucket_ts ORDER BY le
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+       |  FROM b),
+       |t AS (
+       |  SELECT *,
+       |    max(cum_cnt) OVER (PARTITION BY event_type, bucket_ts) AS total,
+       |    CASE $loCase END AS lo
+       |  FROM c)
+       |SELECT event_type, bucket_ts,
+       |  CAST(floor(1000.0 * (CASE WHEN le = CAST('infinity' AS DOUBLE)
+       |    THEN CAST(${ladder.last} AS DOUBLE)
+       |    ELSE lo + (le - lo) * (($qNum.0 * total) / $qDen.0 - (cum_cnt - cnt)) / cnt
+       |    END)) AS BIGINT) AS q_millis
+       |FROM t
+       |WHERE cum_cnt >= ($qNum.0 * total) / $qDen.0
+       |  AND (cum_cnt - cnt) < ($qNum.0 * total) / $qDen.0""".stripMargin
   }
 
   /** Bit-exact DuckDB mirror of [[graft.operators.Sketches]] heavy

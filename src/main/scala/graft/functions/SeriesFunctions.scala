@@ -270,6 +270,82 @@ object SeriesFunctions {
         col("_z._ew").as("ewma_milli"): _*)
   }
 
+  /** Seasonal hour-of-week baseline + deviation: each sample compared
+    * against the mean of ITS OWN (series, hour-of-week) slot — the
+    * seasonality-aware complement of the trailing-window flaggers
+    * (Monday-9am traffic judged against Monday-9am history, not
+    * against 3am). Two passes over the same grouped frame: one
+    * grouped mean into a (series × 168)-row baseline, one equi join
+    * back; both shuffles are keyed on (series, how), the baseline
+    * side is dimension-sized.
+    *
+    * Exactness: baseline = floor(Σv_milli / n) via non-negative-
+    * remainder integer division (exact for negative sums too), so
+    * `dev_milli` hash-matches SQL bit-for-bit.
+    */
+  def seasonalBaseline(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String): DataFrame = {
+    val ts = col(tsCol).cast("timestamp")
+    val how = ((dayofweek(ts) - 1) * 24 + hour(ts)).cast("long")
+    val withHow = df
+      .withColumn("how", how)
+      .withColumn("v_milli", floor(col(valCol) * lit(1000.0)).cast("long"))
+    val sumc = col("_s") - pmod(col("_s"), col("_n"))
+    val baseline = withHow
+      .groupBy((keyCols :+ "how").map(col): _*)
+      .agg(sum(col("v_milli")).as("_s"), count(col("v_milli")).as("_n"))
+      .select((keyCols :+ "how").map(col) :+
+        (sumc / col("_n")).cast("long").as("baseline_milli"): _*)
+    withHow
+      .join(baseline, keyCols :+ "how")
+      .withColumn("dev_milli", col("v_milli") - col("baseline_milli"))
+  }
+
+  /** One-sided CUSUM drift detection per series: the classic
+    * change-point statistic
+    *
+    * {{{ c₀ = 0;  cₜ = max(0, cₜ₋₁ + (vₜ − target − slack)) }}}
+    *
+    * accumulating only SUSTAINED excursions above `target + slack`
+    * (isolated spikes decay immediately — the complement of the
+    * z-score flagger, which sees spikes but not slow drifts). A
+    * series drifts when the statistic crosses `threshold`.
+    *
+    * Same bounded-series fold discipline as [[ewmaSmooth]] (sequential
+    * recurrence → one `aggregate()` per collected series); all
+    * arithmetic is exact `v_milli` fixed-point integers (target/
+    * slack/threshold given in millis), so a DuckDB recursive CTE
+    * replays the identical chain and the query hash-matches. Emits
+    * per-sample `cusum_milli` and `drifting` (statistic ≥ threshold).
+    */
+  def cusumDrift(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, targetMilli: Long, slackMilli: Long,
+      thresholdMilli: Long, orderCols: Seq[String]): DataFrame = {
+    require(slackMilli >= 0, s"slack must be >= 0: $slackMilli")
+    require(thresholdMilli > 0, s"threshold must be > 0: $thresholdMilli")
+    val pt = struct((tsCol +: orderCols).map(col) :+
+      floor(col(valCol) * lit(1000.0)).cast("long").as("v_milli"): _*)
+    val dev = (x: org.apache.spark.sql.Column) =>
+      x.getField("v_milli") - lit(targetMilli + slackMilli)
+    // ANSI mode: element_at(acc, -1) must stay inside the guarded
+    // branch (c₀ = 0 makes the first step just max(0, dev))
+    val step = (acc: org.apache.spark.sql.Column,
+        x: org.apache.spark.sql.Column) => concat(acc, array(
+      when(size(acc) === 0, greatest(lit(0L), dev(x)))
+        .otherwise(greatest(lit(0L), element_at(acc, -1) + dev(x)))))
+    df.select(keyCols.map(col) :+ pt.as("_pt"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col("_pt"))).as("_pts"))
+      .withColumn("_cs", aggregate(col("_pts"), typedlit(Seq.empty[Long]), step))
+      .select(keyCols.map(col) :+
+        explode(arrays_zip(col("_pts"), col("_cs"))).as("_z"): _*)
+      .select(keyCols.map(col) ++
+        (tsCol +: orderCols).map(c => col(s"_z._pts.$c").as(c)) :+
+        col("_z._pts.v_milli").as("v_milli") :+
+        col("_z._cs").as("cusum_milli") :+
+        (col("_z._cs") >= thresholdMilli).as("drifting"): _*)
+  }
+
   /** Rolling z-score anomaly flags: mark samples deviating more than
     * k·σ from the mean of their own trailing window — the standard
     * streaming-metrics outlier rule (the reference only renders

@@ -240,6 +240,19 @@ class PlanAuditSpec extends SparkSuite {
       p.contains("SortAggregate"), s"ewma lost its grouped fold:\n$p")
   }
 
+  test("q_histogram_p90 maps samples to rungs with a literal when-chain, never a ladder join") {
+    val p = plan("q_histogram_p90")
+    assert(!p.contains("Join"), s"ladder assignment grew a join:\n$p")
+    assert(p.contains("partial_"), s"bucket counts lost map-side combine:\n$p")
+  }
+
+  test("q_cohort_retention is equi-join only with combined distinct pairs") {
+    val p = plan("q_cohort_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort join degraded:\n$p")
+    assert(p.contains("partial_"), s"activity dedup lost map-side combine:\n$p")
+  }
+
   test("per-row text ops (PII scrub, repetition stats) plan with zero shuffles") {
     Seq("q_pii_redact", "q_repetition_stats").foreach { q =>
       val p = plan(q)
