@@ -41,7 +41,8 @@ object ScaleSpot {
     // r5 additions: interval joins, sketch, anomaly, text scrubs, EWMA
     "q_interval_join", "q_interval_overlap", "q_cms_heavy_hitters",
     "q_anomaly_zscore", "q_pii_redact", "q_repetition_stats", "q_ewma",
-    "q_histogram_p90", "q_cohort_retention")
+    "q_histogram_p90", "q_cohort_retention",
+    "q_seasonal_baseline", "q_cusum_drift")
 
   /** The ANN scale path proper: parameters sized from the corpus
     * ([[graft.operators.Similarity.autoPlanes]]/`autoNlist`), keeping

@@ -780,6 +780,30 @@ object SparkEntry {
           aNum = 2, aDen = 10, orderCols = Seq("event_id"))
         .select("event_type", "user_id", "event_id", "v_milli", "ewma_milli")),
 
+    // --- seasonal hour-of-week baseline: each event value compared
+    // to the mean of ITS OWN (event_type, hour-of-week) slot —
+    // Monday-9am judged against Monday-9am history; baseline is an
+    // exact floor-division over fixed-point millis ---
+    "q_seasonal_baseline" -> ((s, dir) =>
+      graft.functions.SeriesFunctions.seasonalBaseline(
+          s.read.parquet(s"$dir/events.parquet"),
+          Seq("event_type"), "ts", "value")
+        .select("event_id", "event_type", "how", "v_milli",
+          "baseline_milli", "dev_milli")),
+
+    // --- one-sided CUSUM drift per (event_type, user) series:
+    // max(0, c + v - target - slack) accumulated in exact integer
+    // millis (bounded-series fold, like q_ewma); the oracle replays
+    // the identical chain recursively ---
+    "q_cusum_drift" -> ((s, dir) =>
+      graft.functions.SeriesFunctions.cusumDrift(
+          s.read.parquet(s"$dir/events.parquet"),
+          Seq("event_type", "user_id"), "ts", "value",
+          targetMilli = 50000L, slackMilli = 10000L,
+          thresholdMilli = 200000L, orderCols = Seq("event_id"))
+        .select("event_type", "user_id", "event_id", "v_milli",
+          "cusum_milli", "drifting")),
+
     // --- Gopher-style repetition quality signals: duplicate-token /
     // top-token / top-bigram fractions per doc, pure per-row array
     // algebra (no shuffle) — catches boilerplate and generation
@@ -1671,6 +1695,49 @@ object SparkEntry {
           |  FROM pts p JOIN r ON p.event_type = r.event_type
           |    AND p.user_id = r.user_id AND p.rn = r.rn + 1)
           |SELECT event_type, user_id, event_id, v_milli, ewma_milli
+          |FROM r""".stripMargin,
+
+      // hour-of-week slot mean as the engine computes it: DuckDB's
+      // dayofweek is 0=Sunday (Spark's is 1=Sunday, engine subtracts
+      // 1), baseline via the same non-negative-remainder integer
+      // division — exact for negative sums too
+      "q_seasonal_baseline" ->
+        """WITH base AS (
+          |  SELECT event_id, event_type,
+          |    CAST(dayofweek(ts) * 24 + hour(ts) AS BIGINT) AS how,
+          |    CAST(floor(value * 1000) AS BIGINT) AS v_milli
+          |  FROM events),
+          |b AS (
+          |  SELECT event_type, how, sum(v_milli) AS s, count(*) AS n
+          |  FROM base GROUP BY 1, 2)
+          |SELECT base.event_id, base.event_type, base.how, base.v_milli,
+          |  CAST((b.s - (((b.s % b.n) + b.n) % b.n)) // b.n
+          |    AS BIGINT) AS baseline_milli,
+          |  base.v_milli - CAST((b.s - (((b.s % b.n) + b.n) % b.n)) // b.n
+          |    AS BIGINT) AS dev_milli
+          |FROM base JOIN b
+          |  ON base.event_type = b.event_type AND base.how = b.how""".stripMargin,
+
+      // recursive replay of the engine's exact CUSUM chain:
+      // c1 = max(0, v1 - 60000), cn = max(0, c + vn - 60000)
+      "q_cusum_drift" ->
+        """WITH RECURSIVE pts AS (
+          |  SELECT event_type, user_id, event_id,
+          |    CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+          |    row_number() OVER (PARTITION BY event_type, user_id
+          |                       ORDER BY ts, event_id) AS rn
+          |  FROM events),
+          |r AS (
+          |  SELECT event_type, user_id, event_id, v_milli, rn,
+          |    greatest(0, v_milli - 60000) AS cusum_milli
+          |  FROM pts WHERE rn = 1
+          |  UNION ALL
+          |  SELECT p.event_type, p.user_id, p.event_id, p.v_milli, p.rn,
+          |    greatest(0, r.cusum_milli + p.v_milli - 60000)
+          |  FROM pts p JOIN r ON p.event_type = r.event_type
+          |    AND p.user_id = r.user_id AND p.rn = r.rn + 1)
+          |SELECT event_type, user_id, event_id, v_milli, cusum_milli,
+          |  cusum_milli >= 200000 AS drifting
           |FROM r""".stripMargin,
 
       // list-lambda mirror of TextFunctions.repetitionStats: same

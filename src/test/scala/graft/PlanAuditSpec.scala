@@ -240,6 +240,20 @@ class PlanAuditSpec extends SparkSuite {
       p.contains("SortAggregate"), s"ewma lost its grouped fold:\n$p")
   }
 
+  test("q_cusum_drift is one grouped fold like ewma, never a self-join") {
+    val p = plan("q_cusum_drift")
+    assert(!p.contains("Join"), s"cusum grew a join:\n$p")
+    assert(p.contains("partial_") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), s"cusum lost its grouped fold:\n$p")
+  }
+
+  test("q_seasonal_baseline joins the dimension-sized slot table as equi (never nested-loop)") {
+    val p = plan("q_seasonal_baseline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"baseline join degraded:\n$p")
+    assert(p.contains("partial_"), s"slot mean lost map-side combine:\n$p")
+  }
+
   test("q_histogram_p90 maps samples to rungs with a literal when-chain, never a ladder join") {
     val p = plan("q_histogram_p90")
     assert(!p.contains("Join"), s"ladder assignment grew a join:\n$p")
