@@ -42,7 +42,8 @@ object ScaleSpot {
     "q_interval_join", "q_interval_overlap", "q_cms_heavy_hitters",
     "q_anomaly_zscore", "q_pii_redact", "q_repetition_stats", "q_ewma",
     "q_histogram_p90", "q_cohort_retention",
-    "q_seasonal_baseline", "q_cusum_drift")
+    "q_seasonal_baseline", "q_cusum_drift",
+    "q_funnel", "q_transition_matrix")
 
   /** The ANN scale path proper: parameters sized from the corpus
     * ([[graft.operators.Similarity.autoPlanes]]/`autoNlist`), keeping

@@ -8,7 +8,7 @@ import graft.compress.ChunkCodec
 import graft.datagen.TranscriptGen
 import graft.functions.{GapFill, TextFunctions}
 import graft.model.Tier
-import graft.operators.{AsOf, Components, Dedup, DynamicPivot, IntervalJoin, Multimodal, Similarity, Sketches, TrainingSet, TreeDepth}
+import graft.operators.{AsOf, Components, Dedup, DynamicPivot, IntervalJoin, Multimodal, Sequences, Similarity, Sketches, TrainingSet, TreeDepth}
 import graft.rollup.Rollup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -803,6 +803,22 @@ object SparkEntry {
           thresholdMilli = 200000L, orderCols = Seq("event_id"))
         .select("event_type", "user_id", "event_id", "v_milli",
           "cusum_milli", "drifting")),
+
+    // --- funnel conversion signup → view → purchase per user:
+    // strictly-increasing timestamps through the steps, k grouped
+    // mins equi-joined on the user id (never a stream-wide window) ---
+    "q_funnel" -> ((s, dir) =>
+      Sequences.funnel(
+        s.read.parquet(s"$dir/events.parquet"),
+        "ts", "user_id", "event_type", Seq("signup", "view", "purchase"))),
+
+    // --- first-order event-type transition matrix: consecutive pairs
+    // per user (one lag window), counted globally with per-source
+    // per-mille shares over the vocabulary²-sized reduced frame ---
+    "q_transition_matrix" -> ((s, dir) =>
+      Sequences.transitionMatrix(
+        s.read.parquet(s"$dir/events.parquet"),
+        "ts", "user_id", "event_type", Seq("event_id"))),
 
     // --- Gopher-style repetition quality signals: duplicate-token /
     // top-token / top-bigram fractions per doc, pure per-row array
@@ -1739,6 +1755,46 @@ object SparkEntry {
           |SELECT event_type, user_id, event_id, v_milli, cusum_milli,
           |  cusum_milli >= 200000 AS drifting
           |FROM r""".stripMargin,
+
+      // the engine's fold unrolled: each step CTE is the grouped min
+      // of strictly-later step events joined to the previous reach
+      "q_funnel" ->
+        """WITH s0 AS (
+          |  SELECT user_id, min(ts) AS t FROM events
+          |  WHERE event_type = 'signup' GROUP BY 1),
+          |s1 AS (
+          |  SELECT e.user_id, min(e.ts) AS t FROM events e
+          |  JOIN s0 ON e.user_id = s0.user_id
+          |  WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1),
+          |s2 AS (
+          |  SELECT e.user_id, min(e.ts) AS t FROM events e
+          |  JOIN s1 ON e.user_id = s1.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
+          |c AS (
+          |  SELECT 0 AS step_idx, 'signup' AS step, count(*) AS users_reached
+          |  FROM s0
+          |  UNION ALL SELECT 1, 'view', count(*) FROM s1
+          |  UNION ALL SELECT 2, 'purchase', count(*) FROM s2)
+          |SELECT step_idx, step, users_reached,
+          |  CAST(floor(1000.0 * users_reached /
+          |    max(CASE WHEN step_idx = 0 THEN users_reached END) OVER ())
+          |    AS BIGINT) AS conversion_permille
+          |FROM c""".stripMargin,
+
+      "q_transition_matrix" ->
+        """WITH p AS (
+          |  SELECT lag(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS from_step,
+          |    event_type AS to_step
+          |  FROM events),
+          |c AS (
+          |  SELECT from_step, to_step, count(*) AS n_transitions FROM p
+          |  WHERE from_step IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_step, to_step, n_transitions,
+          |  CAST(floor(1000.0 * n_transitions /
+          |    sum(n_transitions) OVER (PARTITION BY from_step))
+          |    AS BIGINT) AS prob_permille
+          |FROM c""".stripMargin,
 
       // list-lambda mirror of TextFunctions.repetitionStats: same
       // nested count-per-distinct folds, same floor-millis ratios

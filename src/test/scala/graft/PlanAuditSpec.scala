@@ -240,6 +240,20 @@ class PlanAuditSpec extends SparkSuite {
       p.contains("SortAggregate"), s"ewma lost its grouped fold:\n$p")
   }
 
+  test("q_funnel is equi-joins on the user id only, with map-side-combined step mins") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel join degraded:\n$p")
+    assert(p.contains("partial_"), s"step mins lost map-side combine:\n$p")
+  }
+
+  test("q_transition_matrix is one lag window + grouped count, never a self-join") {
+    val p = plan("q_transition_matrix")
+    assert(!p.contains("Join"), s"transition matrix grew a join:\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_"), s"pair counts lost map-side combine:\n$p")
+  }
+
   test("q_cusum_drift is one grouped fold like ewma, never a self-join") {
     val p = plan("q_cusum_drift")
     assert(!p.contains("Join"), s"cusum grew a join:\n$p")
