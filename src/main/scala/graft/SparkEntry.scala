@@ -804,6 +804,19 @@ object SparkEntry {
         .select("event_type", "user_id", "event_id", "v_milli",
           "cusum_milli", "drifting")),
 
+    // --- Holt linear-trend smoothing per (event_type, user) series,
+    // alpha = 0.2, beta = 0.3 — level + trend + one-step forecast,
+    // same bounded-series fold as q_ewma; the oracle replays the
+    // identical integer double-recurrence recursively ---
+    "q_holt_forecast" -> ((s, dir) =>
+      graft.functions.SeriesFunctions.holtSmooth(
+          s.read.parquet(s"$dir/events.parquet"),
+          Seq("event_type", "user_id"), "ts", "value",
+          aNum = 2, aDen = 10, bNum = 3, bDen = 10,
+          orderCols = Seq("event_id"))
+        .select("event_type", "user_id", "event_id", "v_milli",
+          "level_milli", "trend_milli", "forecast_milli")),
+
     // --- funnel conversion signup → view → purchase per user:
     // strictly-increasing timestamps through the steps, k grouped
     // mins equi-joined on the user id (never a stream-wide window) ---
@@ -1754,6 +1767,36 @@ object SparkEntry {
           |    AND p.user_id = r.user_id AND p.rn = r.rn + 1)
           |SELECT event_type, user_id, event_id, v_milli, cusum_milli,
           |  cusum_milli >= 200000 AS drifting
+          |FROM r""".stripMargin,
+
+      // recursive replay of the engine's exact Holt chain: the level
+      // is computed in a nested select so the trend step can read it
+      "q_holt_forecast" ->
+        """WITH RECURSIVE pts AS (
+          |  SELECT event_type, user_id, event_id,
+          |    CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+          |    row_number() OVER (PARTITION BY event_type, user_id
+          |                       ORDER BY ts, event_id) AS rn
+          |  FROM events),
+          |r AS (
+          |  SELECT event_type, user_id, event_id, v_milli, rn,
+          |    v_milli AS level_milli, CAST(0 AS BIGINT) AS trend_milli
+          |  FROM pts WHERE rn = 1
+          |  UNION ALL
+          |  SELECT event_type, user_id, event_id, v_milli, rn,
+          |    l AS level_milli,
+          |    CAST(floor((3 * (l - pl) + 7 * pb) / 10.0) AS BIGINT)
+          |      AS trend_milli
+          |  FROM (
+          |    SELECT p.event_type, p.user_id, p.event_id, p.v_milli, p.rn,
+          |      CAST(floor((2 * p.v_milli
+          |        + 8 * (r.level_milli + r.trend_milli)) / 10.0) AS BIGINT)
+          |        AS l,
+          |      r.level_milli AS pl, r.trend_milli AS pb
+          |    FROM pts p JOIN r ON p.event_type = r.event_type
+          |      AND p.user_id = r.user_id AND p.rn = r.rn + 1))
+          |SELECT event_type, user_id, event_id, v_milli, level_milli,
+          |  trend_milli, level_milli + trend_milli AS forecast_milli
           |FROM r""".stripMargin,
 
       // the engine's fold unrolled: each step CTE is the grouped min

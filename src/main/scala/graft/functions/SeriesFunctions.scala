@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -268,6 +268,70 @@ object SeriesFunctions {
         (tsCol +: orderCols).map(c => col(s"_z._pts.$c").as(c)) :+
         col("_z._pts.v_milli").as("v_milli") :+
         col("_z._ew").as("ewma_milli"): _*)
+  }
+
+  /** Exact Holt linear-trend smoothing (double exponential) per
+    * series — [[ewmaSmooth]]'s sibling that also tracks a TREND term,
+    * giving a one-step-ahead forecast (`forecast_milli` = level +
+    * trend): the standard capacity-planning smoother for counters
+    * and rates. Same bounded-series fold contract as [[ewmaSmooth]]
+    * (one ordered array + `aggregate()` per series, embarrassingly
+    * parallel across series; downsample unbounded series first).
+    *
+    * Recurrence over `v_milli` fixed point, α = aNum/aDen and
+    * β = bNum/bDen rational:
+    *
+    * {{{
+    * l₀ = v₀;  b₀ = 0
+    * lₜ = floor((aNum·vₜ + (aDen−aNum)·(lₜ₋₁+bₜ₋₁)) / aDen)
+    * bₜ = floor((bNum·(lₜ−lₜ₋₁) + (bDen−bNum)·bₜ₋₁) / bDen)
+    * }}}
+    *
+    * Every intermediate < 2⁵² so the double divisions floor
+    * identically in any IEEE engine — a DuckDB recursive CTE replays
+    * the identical chain. The accumulator interleaves (level, trend)
+    * pairs in one flat long array (element −2 = previous level,
+    * −1 = previous trend), avoiding struct-array coercion rules.
+    */
+  def holtSmooth(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, aNum: Int, aDen: Int, bNum: Int, bDen: Int,
+      orderCols: Seq[String]): DataFrame = {
+    require(aNum >= 1 && aNum <= aDen, s"alpha must be in (0, 1]: $aNum/$aDen")
+    require(bNum >= 1 && bNum <= bDen, s"beta must be in (0, 1]: $bNum/$bDen")
+    require(aDen <= 1000 && bDen <= 1000,
+      s"denominators above 1000 risk the 2^52 exactness bound: $aDen/$bDen")
+    val pt = struct((tsCol +: orderCols).map(col) :+
+      floor(col(valCol) * lit(1000.0)).cast("long").as("v_milli"): _*)
+    def lNext(acc: Column, x: Column): Column = floor(
+      (lit(aNum.toLong) * x.getField("v_milli") +
+        lit((aDen - aNum).toLong) *
+          (element_at(acc, -2) + element_at(acc, -1))).cast("double") /
+        lit(aDen.toDouble)).cast("long")
+    val step = (acc: Column, x: Column) =>
+      when(size(acc) === 0,
+        array(x.getField("v_milli"), lit(0L)))
+        .otherwise(concat(acc, array(
+          lNext(acc, x),
+          floor((lit(bNum.toLong) * (lNext(acc, x) - element_at(acc, -2)) +
+            lit((bDen - bNum).toLong) * element_at(acc, -1)).cast("double") /
+            lit(bDen.toDouble)).cast("long"))))
+    val idx = sequence(lit(1), size(col("_pts")))
+    df.select(keyCols.map(col) :+ pt.as("_pt"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col("_pt"))).as("_pts"))
+      .withColumn("_lb", aggregate(col("_pts"), typedlit(Seq.empty[Long]), step))
+      .withColumn("_ls", transform(idx,
+        i => element_at(col("_lb"), i * 2 - 1)))
+      .withColumn("_bs", transform(idx,
+        i => element_at(col("_lb"), i * 2)))
+      .select(keyCols.map(col) :+
+        explode(arrays_zip(col("_pts"), col("_ls"), col("_bs"))).as("_z"): _*)
+      .select(keyCols.map(col) ++
+        (tsCol +: orderCols).map(c => col(s"_z._pts.$c").as(c)) :+
+        col("_z._pts.v_milli").as("v_milli") :+
+        col("_z._ls").as("level_milli") :+
+        col("_z._bs").as("trend_milli") :+
+        (col("_z._ls") + col("_z._bs")).as("forecast_milli"): _*)
   }
 
   /** Seasonal hour-of-week baseline + deviation: each sample compared

@@ -254,6 +254,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial_"), s"pair counts lost map-side combine:\n$p")
   }
 
+  test("q_holt_forecast is one grouped fold like ewma, never a self-join") {
+    val p = plan("q_holt_forecast")
+    assert(!p.contains("Join"), s"holt grew a join:\n$p")
+    assert(p.contains("partial_") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), s"holt lost its grouped fold:\n$p")
+  }
+
   test("q_cusum_drift is one grouped fold like ewma, never a self-join") {
     val p = plan("q_cusum_drift")
     assert(!p.contains("Join"), s"cusum grew a join:\n$p")
