@@ -817,6 +817,16 @@ object SparkEntry {
         .select("event_type", "user_id", "event_id", "v_milli",
           "level_milli", "trend_milli", "forecast_milli")),
 
+    // --- time-weighted average (LOCF integral) per (event_type,
+    // user) at 1h buckets, 48-bucket staleness horizon — irregular
+    // samples weighted by held time, not sample count ---
+    "q_twa_1h" -> ((s, dir) =>
+      graft.functions.SeriesFunctions.timeWeightedAvg(
+        s.read.parquet(s"$dir/events.parquet"),
+        Seq("event_type", "user_id"), "ts", "value",
+        bucketSecs = 3600, maxGapBuckets = 48,
+        orderCols = Seq("event_id"))),
+
     // --- funnel conversion signup → view → purchase per user:
     // strictly-increasing timestamps through the steps, k grouped
     // mins equi-joined on the user id (never a stream-wide window) ---
@@ -1798,6 +1808,37 @@ object SparkEntry {
           |SELECT event_type, user_id, event_id, v_milli, level_milli,
           |  trend_milli, level_milli + trend_milli AS forecast_milli
           |FROM r""".stripMargin,
+
+      // the engine's LOCF integral in epoch-micros integers: lead
+      // window, staleness clip, bucket explode via generate_series,
+      // identical floor(double-division) at the end (sums < 2^52)
+      "q_twa_1h" ->
+        """WITH base AS (
+          |  SELECT event_type, user_id, epoch_us(ts) AS s,
+          |    CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+          |    lead(epoch_us(ts)) OVER (PARTITION BY event_type, user_id
+          |      ORDER BY ts, event_id) AS nxt
+          |  FROM events),
+          |clip AS (
+          |  SELECT event_type, user_id, s, v_milli,
+          |    least(nxt, (CAST(floor(s / 3600000000.0) AS BIGINT) + 48)
+          |      * 3600000000) AS e
+          |  FROM base WHERE nxt IS NOT NULL AND nxt > s),
+          |segs AS (
+          |  SELECT event_type, user_id, v_milli, s, e,
+          |    unnest(generate_series(
+          |      CAST(floor(s / 3600000000.0) AS BIGINT),
+          |      CAST(floor((e - 1) / 3600000000.0) AS BIGINT))) AS b
+          |  FROM clip WHERE e > s),
+          |ov AS (
+          |  SELECT *, least(e, (b + 1) * 3600000000)
+          |    - greatest(s, b * 3600000000) AS o
+          |  FROM segs)
+          |SELECT event_type, user_id, epoch_ms(b * 3600000) AS bucket_ts,
+          |  CAST(floor(CAST(sum(v_milli * o) AS DOUBLE)
+          |    / CAST(sum(o) AS DOUBLE)) AS BIGINT) AS twa_milli,
+          |  CAST(sum(o) AS BIGINT) AS covered_us
+          |FROM ov GROUP BY 1, 2, 3""".stripMargin,
 
       // the engine's fold unrolled: each step CTE is the grouped min
       // of strictly-later step events joined to the previous reach

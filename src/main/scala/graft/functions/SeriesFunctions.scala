@@ -334,6 +334,65 @@ object SeriesFunctions {
         (col("_z._ls") + col("_z._bs")).as("forecast_milli"): _*)
   }
 
+  /** Time-weighted average per (series, bucket) for IRREGULAR
+    * samples — the LOCF integral (TimescaleDB `time_weight`,
+    * InfluxDB `integral`): each value holds until the next sample,
+    * and the bucket average weights by HELD TIME, not sample count
+    * (a plain `avg` over-counts chatty periods). A sample's hold
+    * segment `[ts, next_ts)` is clipped to the staleness horizon and
+    * exploded onto the covered buckets (fan-out = segment span /
+    * bucket width, bounded by `maxGapBuckets` — the same span-guard
+    * discipline as GapFill); one lead window per series + one grouped
+    * sum, both keyed on the series.
+    *
+    * Exactness: all clipping arithmetic is epoch-micros integers;
+    * Σ(v_milli·overlap_µs) per bucket ≤ max_v_milli × bucket_µs
+    * (< 2⁵² for milli values under ~1.2M at 1h buckets), so the
+    * final floor(double-division) is bit-identical across engines.
+    * Emits `bucket_ts`, `twa_milli`, `covered_us` (held time actually
+    * observed in the bucket — callers can threshold on coverage).
+    *
+    * The LAST sample of each series holds nothing (no next sample)
+    * and contributes no segment, matching the half-open integral.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, bucketSecs: Long, maxGapBuckets: Int,
+      orderCols: Seq[String]): DataFrame = {
+    require(bucketSecs >= 1, s"bucketSecs must be >= 1: $bucketSecs")
+    require(maxGapBuckets >= 1, s"maxGapBuckets must be >= 1: $maxGapBuckets")
+    val wUs = bucketSecs * 1000000L
+    def bdiv(c: Column): Column = floor(c / lit(wUs.toDouble)).cast("long")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col("_s") +: orderCols.map(col)).map(_.asc): _*)
+    val base = df
+      .filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(keyCols.map(col) ++ orderCols.map(col) :+
+        unix_micros(col(tsCol).cast("timestamp")).as("_s") :+
+        floor(col(valCol) * lit(1000.0)).cast("long").as("v_milli"): _*)
+      .withColumn("_next", lead(col("_s"), 1).over(w))
+    val clipped = base
+      .filter(col("_next").isNotNull && col("_next") > col("_s"))
+      // staleness horizon: a value stops counting maxGapBuckets
+      // bucket-widths after its own bucket's start
+      .withColumn("_end",
+        least(col("_next"), (bdiv(col("_s")) + lit(maxGapBuckets.toLong)) * lit(wUs)))
+      .filter(col("_end") > col("_s"))
+    val segs = clipped
+      .withColumn("_b", explode(sequence(bdiv(col("_s")), bdiv(col("_end") - 1))))
+      .withColumn("_ov",
+        least(col("_end"), (col("_b") + 1) * lit(wUs)) -
+          greatest(col("_s"), col("_b") * lit(wUs)))
+    segs
+      .groupBy(keyCols.map(col) :+ col("_b"): _*)
+      .agg(sum(col("v_milli") * col("_ov")).as("_vdt"),
+        sum(col("_ov")).as("covered_us"))
+      .select(keyCols.map(col) :+
+        timestamp_micros(col("_b") * lit(wUs)).as("bucket_ts") :+
+        floor(col("_vdt").cast("double") / col("covered_us")).cast("long")
+          .as("twa_milli") :+
+        col("covered_us"): _*)
+  }
+
   /** Seasonal hour-of-week baseline + deviation: each sample compared
     * against the mean of ITS OWN (series, hour-of-week) slot — the
     * seasonality-aware complement of the trailing-window flaggers

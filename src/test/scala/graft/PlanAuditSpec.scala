@@ -254,6 +254,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial_"), s"pair counts lost map-side combine:\n$p")
   }
 
+  test("q_twa_1h is one lead window + grouped sum, never a self-join") {
+    val p = plan("q_twa_1h")
+    assert(!p.contains("Join"), s"TWA grew a join:\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_"), s"TWA lost map-side combine:\n$p")
+  }
+
   test("q_holt_forecast is one grouped fold like ewma, never a self-join") {
     val p = plan("q_holt_forecast")
     assert(!p.contains("Join"), s"holt grew a join:\n$p")
