@@ -43,7 +43,8 @@ object ScaleSpot {
     "q_anomaly_zscore", "q_pii_redact", "q_repetition_stats", "q_ewma",
     "q_histogram_p90", "q_cohort_retention",
     "q_seasonal_baseline", "q_cusum_drift",
-    "q_funnel", "q_transition_matrix", "q_holt_forecast", "q_twa_1h")
+    "q_funnel", "q_transition_matrix", "q_holt_forecast", "q_twa_1h",
+    "q_snapshot_diff")
 
   /** The ANN scale path proper: parameters sized from the corpus
     * ([[graft.operators.Similarity.autoPlanes]]/`autoNlist`), keeping

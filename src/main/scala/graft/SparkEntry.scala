@@ -827,6 +827,25 @@ object SparkEntry {
         bucketSecs = 3600, maxGapBuckets = 48,
         orderCols = Seq("event_id"))),
 
+    // --- row-level CDC between two derived table versions: old drops
+    // event_id%11==0 and perturbs value for %7==0, new drops %13==0 —
+    // the diff must report exactly the planted I/D/U set with the
+    // changed column named ---
+    "q_snapshot_diff" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select("event_id", "user_id", "event_type", "value")
+      val oldT = ev
+        .filter(pmod(col("event_id"), lit(11)) =!= 0)
+        .withColumn("value",
+          when(pmod(col("event_id"), lit(7)) === 0, col("value") + lit(1.0))
+            .otherwise(col("value")))
+      val newT = ev.filter(pmod(col("event_id"), lit(13)) =!= 0)
+      graft.operators.SnapshotDiff.diff(oldT, newT, Seq("event_id"))
+        .select(col("event_id"), col("op"), col("changed_cols"),
+          floor(col("value_old") * lit(1000.0)).cast("long").as("v_old_milli"),
+          floor(col("value_new") * lit(1000.0)).cast("long").as("v_new_milli"))
+    }),
+
     // --- funnel conversion signup → view → purchase per user:
     // strictly-increasing timestamps through the steps, k grouped
     // mins equi-joined on the user id (never a stream-wide window) ---
@@ -1839,6 +1858,42 @@ object SparkEntry {
           |    / CAST(sum(o) AS DOUBLE)) AS BIGINT) AS twa_milli,
           |  CAST(sum(o) AS BIGINT) AS covered_us
           |FROM ov GROUP BY 1, 2, 3""".stripMargin,
+
+      // same planted old/new derivation, FULL OUTER JOIN + null-safe
+      // IS DISTINCT FROM comparisons mirroring SnapshotDiff
+      "q_snapshot_diff" ->
+        """WITH ev AS (
+          |  SELECT event_id, user_id, event_type, value FROM events),
+          |oldt AS (
+          |  SELECT event_id, user_id, event_type,
+          |    CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END
+          |      AS value
+          |  FROM ev WHERE event_id % 11 <> 0),
+          |newt AS (
+          |  SELECT event_id, user_id, event_type, value
+          |  FROM ev WHERE event_id % 13 <> 0),
+          |j AS (
+          |  SELECT coalesce(o.event_id, n.event_id) AS event_id,
+          |    o.event_id IS NULL AS no_old, n.event_id IS NULL AS no_new,
+          |    o.user_id AS u_old, n.user_id AS u_new,
+          |    o.event_type AS t_old, n.event_type AS t_new,
+          |    o.value AS v_old, n.value AS v_new
+          |  FROM oldt o FULL OUTER JOIN newt n ON o.event_id = n.event_id)
+          |SELECT event_id,
+          |  CASE WHEN no_old THEN 'I' WHEN no_new THEN 'D' ELSE 'U' END AS op,
+          |  CASE WHEN no_old OR no_new THEN []
+          |    ELSE list_filter([
+          |      CASE WHEN u_old IS DISTINCT FROM u_new THEN 'user_id' END,
+          |      CASE WHEN t_old IS DISTINCT FROM t_new THEN 'event_type' END,
+          |      CASE WHEN v_old IS DISTINCT FROM v_new THEN 'value' END],
+          |      x -> x IS NOT NULL) END AS changed_cols,
+          |  CAST(floor(v_old * 1000) AS BIGINT) AS v_old_milli,
+          |  CAST(floor(v_new * 1000) AS BIGINT) AS v_new_milli
+          |FROM j
+          |WHERE no_old OR no_new
+          |  OR u_old IS DISTINCT FROM u_new
+          |  OR t_old IS DISTINCT FROM t_new
+          |  OR v_old IS DISTINCT FROM v_new""".stripMargin,
 
       // the engine's fold unrolled: each step CTE is the grouped min
       // of strictly-later step events joined to the previous reach

@@ -254,6 +254,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial_"), s"pair counts lost map-side combine:\n$p")
   }
 
+  test("q_snapshot_diff is one full-outer equi join (shuffled or AQE-broadcast), never nested-loop") {
+    val p = plan("q_snapshot_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"CDC join degraded:\n$p")
+    assert(p.contains("FullOuter"), s"lost full-outer semantics:\n$p")
+  }
+
   test("q_twa_1h is one lead window + grouped sum, never a self-join") {
     val p = plan("q_twa_1h")
     assert(!p.contains("Join"), s"TWA grew a join:\n$p")
