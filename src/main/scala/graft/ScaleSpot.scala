@@ -44,7 +44,7 @@ object ScaleSpot {
     "q_histogram_p90", "q_cohort_retention",
     "q_seasonal_baseline", "q_cusum_drift",
     "q_funnel", "q_transition_matrix", "q_holt_forecast", "q_twa_1h",
-    "q_snapshot_diff")
+    "q_snapshot_diff", "q_profile")
 
   /** The ANN scale path proper: parameters sized from the corpus
     * ([[graft.operators.Similarity.autoPlanes]]/`autoNlist`), keeping

@@ -846,6 +846,12 @@ object SparkEntry {
           floor(col("value_new") * lit(1000.0)).cast("long").as("v_new_milli"))
     }),
 
+    // --- one-pass per-column data-quality profile of the events
+    // table: counts, nulls, exact distincts, typed extremes ---
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(
+        s.read.parquet(s"$dir/events.parquet"))),
+
     // --- funnel conversion signup → view → purchase per user:
     // strictly-increasing timestamps through the steps, k grouped
     // mins equi-joined on the user id (never a stream-wide window) ---
@@ -1895,6 +1901,8 @@ object SparkEntry {
           |  OR t_old IS DISTINCT FROM t_new
           |  OR v_old IS DISTINCT FROM v_new""".stripMargin,
 
+      "q_profile" -> profileOracleSql,
+
       // the engine's fold unrolled: each step CTE is the grouped min
       // of strictly-later step events joined to the previous reach
       "q_funnel" ->
@@ -1996,6 +2004,39 @@ object SparkEntry {
        |  $redacted AS redacted,
        |  $countCols
        |FROM pd""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.operators.Profile]] over the events
+    * schema: one UNION ALL branch per column, the same typed-extreme
+    * rules (integers ×1000, doubles floor-millis, timestamps
+    * epoch-millis, strings lexicographic + exact floor avg length).
+    */
+  private def profileOracleSql: String = {
+    val nullStr = "CAST(NULL AS VARCHAR)"
+    val nullLong = "CAST(NULL AS BIGINT)"
+    def branch(c: String, mn: String, mx: String, ms: String, xs: String,
+        al: String): String =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  $mn AS min_num_milli, $mx AS max_num_milli,
+         |  $ms AS min_str, $xs AS max_str, $al AS avg_len_milli
+         |FROM events""".stripMargin
+    def intB(c: String) = branch(c, s"min($c) * 1000", s"max($c) * 1000",
+      nullStr, nullStr, nullLong)
+    def dblB(c: String) = branch(c,
+      s"CAST(floor(min($c) * 1000) AS BIGINT)",
+      s"CAST(floor(max($c) * 1000) AS BIGINT)", nullStr, nullStr, nullLong)
+    def tsB(c: String) = branch(c, s"epoch_ms(min($c))", s"epoch_ms(max($c))",
+      nullStr, nullStr, nullLong)
+    def strB(c: String) = {
+      val s = s"1000 * sum(length($c))"
+      val n = s"count($c)"
+      branch(c, nullLong, nullLong, s"min($c)", s"max($c)",
+        s"CAST(($s - ((($s % $n) + $n) % $n)) // $n AS BIGINT)")
+    }
+    Seq(intB("event_id"), tsB("ts"), intB("user_id"), strB("event_type"),
+      dblB("value"), strB("props")).mkString("\nUNION ALL\n")
   }
 
   /** The le ladder shared by q_histogram_p90 and its oracle (events

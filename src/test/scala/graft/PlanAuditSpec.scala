@@ -254,6 +254,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial_"), s"pair counts lost map-side combine:\n$p")
   }
 
+  test("q_profile is one aggregate pass (Expand for exact distincts), never a join or self-union scan") {
+    val p = plan("q_profile")
+    assert(!p.contains("Join"), s"profile grew a join:\n$p")
+    assert(p.contains("Expand"), s"exact distincts should plan via Expand:\n$p")
+    // one scan: the UNION-per-column shape would show multiple file scans
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profile re-scans the table:\n$p")
+  }
+
   test("q_snapshot_diff is one full-outer equi join (shuffled or AQE-broadcast), never nested-loop") {
     val p = plan("q_snapshot_diff")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
