@@ -887,6 +887,34 @@ object SparkEntry {
       val train = dupedDocs(s, dir)
         .join(evalDocs.select("doc_id"), Seq("doc_id"), "left_anti")
       TrainingSet.decontaminate(train, evalDocs, "doc_id", "text", n = 5)
+    }),
+
+    // --- EXACT set-similarity join via prefix filtering (AllPairs/
+    // PPJoin family): ALL pairs with 5-gram Jaccard ≥ 0.3, found
+    // through a prefix-token equi-join (complete by the prefix
+    // lemma), never all-pairs. The oracle is SEMANTIC — DuckDB
+    // computes the full all-pairs Jaccard with no knowledge of the
+    // prefix trick, so it checks the filter's completeness too ---
+    "q_setsim_join" -> ((s, dir) =>
+      graft.operators.SetSim.similarityJoin(
+        Dedup.charShingles(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 5),
+        "doc_id", tNum = 3, tDen = 10)),
+
+    // --- edit-distance near-dup: LSH band-join candidates (the
+    // q_minhash_lsh chain, DuckDB-mirrored) verified by exact
+    // Levenshtein ≤ 30% of the longer text; the |len1−len2| prefilter
+    // kills most candidates before the O(len²) DP runs ---
+    "q_editdist_neardup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val shingles = Dedup.charShingles(docs, "doc_id", "text", 5)
+      val cands = Dedup.lshCandidates(
+        Dedup.lshBands(
+          Dedup.minHashSignatures(shingles, "doc_id", k = 16),
+          "doc_id", k = 16, bands = 4), "doc_id")
+      graft.operators.SetSim.editDistanceNearDup(
+        docs, "doc_id", "text", cands,
+        maxDistPctNum = 30, maxDistPctDen = 100)
     }))
 
   /** Deterministic raw-log-line fixture: one line per event, digits
@@ -1967,7 +1995,46 @@ object SparkEntry {
           |      list_transform(list_distinct(bg),
           |        t -> len(list_filter(bg, x -> x = t)))) / (n - 1)) AS BIGINT)
           |    ELSE 0 END AS top_bigram_frac_millis
-          |FROM b""".stripMargin)
+          |FROM b""".stripMargin,
+
+      // SEMANTIC oracle for the prefix-filtering join: DuckDB computes
+      // the full all-pairs 5-gram Jaccard with NO prefix logic, so a
+      // hash match proves the candidate filter is complete (no pair
+      // with J >= 0.3 escaped the prefix join), not just that the
+      // verify arithmetic agrees
+      "q_setsim_join" ->
+        """WITH sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(length(text) - 4, 1)),
+          |    i -> substr(text, i, 5)))) AS shingle
+          |  FROM documents),
+          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          |inter AS (
+          |  SELECT s1.doc_id AS id1, s2.doc_id AS id2, count(*) AS inter_sz
+          |  FROM sh s1 JOIN sh s2
+          |    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT i.id1, i.id2, i.inter_sz,
+          |  z1.sz + z2.sz - i.inter_sz AS union_sz
+          |FROM inter i
+          |JOIN sz z1 ON z1.doc_id = i.id1
+          |JOIN sz z2 ON z2.doc_id = i.id2
+          |WHERE i.inter_sz * 10 >= 3 * (z1.sz + z2.sz - i.inter_sz)""".stripMargin,
+
+      // the q_minhash_lsh candidate chain + exact levenshtein verify
+      // (both engines implement the identical unit-cost DP; the
+      // fixture is pure ASCII so char-vs-codepoint length agrees)
+      "q_editdist_neardup" ->
+        s"""WITH ${minhashCandidatesSql(n = 5, k = 16, bands = 4)}
+           |SELECT c.id1, c.id2,
+           |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+           |FROM cand c
+           |JOIN documents a ON a.doc_id = c.id1
+           |JOIN documents b ON b.doc_id = c.id2
+           |WHERE abs(length(a.text) - length(b.text)) * 100
+           |    <= 30 * greatest(length(a.text), length(b.text))
+           |  AND levenshtein(a.text, b.text) * 100
+           |    <= 30 * greatest(length(a.text), length(b.text))""".stripMargin)
   }
 
   /** DuckDB mirror of [[piiDocs]] + the TextFunctions scrub: the
