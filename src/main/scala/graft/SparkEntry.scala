@@ -915,7 +915,32 @@ object SparkEntry {
       graft.operators.SetSim.editDistanceNearDup(
         docs, "doc_id", "text", cands,
         maxDistPctNum = 30, maxDistPctDen = 100)
-    }))
+    }),
+
+    // --- lead/lag coupling between two series of one key: Pearson
+    // corr between user-turn counts at hour t and assistant-turn
+    // counts at t+1h, per conversation — exact integer sufficient
+    // statistics, IEEE-deterministic final division ---
+    "q_lag_corr" -> ((s, dir) => {
+      val series = turns(s, dir)
+        .groupBy(col("conv_id"),
+          Rollup.bucketWidth(col("ts"), "1h").as("bucket_ts"))
+        .agg(sum(when(col("role") === "user", 1L).otherwise(0L)).as("user_cnt"),
+          sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("asst_cnt"))
+      graft.functions.SeriesFunctions.laggedCorrelation(
+        series, Seq("conv_id"), "bucket_ts", "user_cnt", "asst_cnt",
+        lagBuckets = 1, bucketSecs = 3600, minPairs = 3)
+    }),
+
+    // --- multi-window SLO burn rate per event_type: hourly bad-rate
+    // (value >= 200) vs the trailing 6h rate, alert when BOTH burn
+    // >= 2x the 10% budget — the SRE-workbook alerting rule as one
+    // agg + one RANGE window over bucket-sized data ---
+    "q_burn_rate" -> ((s, dir) =>
+      graft.functions.SeriesFunctions.burnRate(
+        s.read.parquet(s"$dir/events.parquet"),
+        Seq("event_type"), "ts", col("value") >= 200.0,
+        longHours = 6, budgetNum = 1, budgetDen = 10, burnFactor = 2)))
 
   /** Deterministic raw-log-line fixture: one line per event, digits
     * from user ids and the props payload — shared by the template
@@ -2034,7 +2059,60 @@ object SparkEntry {
            |WHERE abs(length(a.text) - length(b.text)) * 100
            |    <= 30 * greatest(length(a.text), length(b.text))
            |  AND levenshtein(a.text, b.text) * 100
-           |    <= 30 * greatest(length(a.text), length(b.text))""".stripMargin)
+           |    <= 30 * greatest(length(a.text), length(b.text))""".stripMargin,
+
+      // identical expression tree for the final corr division (int
+      // sums exact; *1e6, sqrt, mul, div all correctly rounded IEEE)
+      "q_lag_corr" -> withTurns(
+        """WITH s AS (
+          |  SELECT conv_id,
+          |    make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000)
+          |      AS bucket_ts,
+          |    sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS x,
+          |    sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS y
+          |  FROM turns GROUP BY 1, 2),
+          |j AS (
+          |  SELECT a.conv_id, a.x, b.y
+          |  FROM s a JOIN s b ON a.conv_id = b.conv_id
+          |    AND epoch_us(b.bucket_ts) - 3600000000 = epoch_us(a.bucket_ts)),
+          |g AS (
+          |  SELECT conv_id, count(*) AS n_pairs,
+          |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+          |    sum(x * x) AS sxx, sum(y * y) AS syy
+          |  FROM j GROUP BY 1)
+          |SELECT conv_id, n_pairs,
+          |  CAST(floor(CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1000000.0
+          |    / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+          |     * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+          |    AS corr_micro
+          |FROM g
+          |WHERE n_pairs >= 3 AND n_pairs * sxx - sx * sx > 0
+          |  AND n_pairs * syy - sy * sy > 0""".stripMargin),
+
+      "q_burn_rate" ->
+        """WITH h AS (
+          |  SELECT event_type,
+          |    CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hidx,
+          |    count(*) AS total,
+          |    CAST(sum(CASE WHEN value >= 200.0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS bad
+          |  FROM events GROUP BY 1, 2),
+          |w AS (
+          |  SELECT event_type, hidx, total, bad,
+          |    CAST(sum(total) OVER (PARTITION BY event_type ORDER BY hidx
+          |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+          |      AS total_6h,
+          |    CAST(sum(bad) OVER (PARTITION BY event_type ORDER BY hidx
+          |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+          |      AS bad_6h
+          |  FROM h)
+          |SELECT event_type, make_timestamp(hidx * 3600000000) AS bucket_ts,
+          |  total, bad, total_6h, bad_6h,
+          |  CAST(floor(bad * 1000.0 / total) AS BIGINT) AS burn_short_milli,
+          |  CAST(floor(bad_6h * 1000.0 / total_6h) AS BIGINT)
+          |    AS burn_long_milli,
+          |  bad * 10 >= 2 * total AND bad_6h * 10 >= 2 * total_6h AS alert
+          |FROM w""".stripMargin)
   }
 
   /** DuckDB mirror of [[piiDocs]] + the TextFunctions scrub: the

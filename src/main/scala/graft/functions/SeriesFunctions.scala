@@ -469,6 +469,107 @@ object SeriesFunctions {
         (col("_z._cs") >= thresholdMilli).as("drifting"): _*)
   }
 
+  /** Pearson correlation between series `x` at bucket t and series
+    * `y` at bucket t + lag — the standard lead/lag coupling question
+    * over two metrics of the same key ("do tool calls follow user
+    * bursts an hour later?"). Input is an ALREADY-BUCKETED series
+    * frame (one row per (key, bucket) with both columns, e.g. a
+    * rollup tier or [[turnRate]] output), so the join and the grouped
+    * sums are bucket-count-sized, never sample-sized; both shuffles
+    * key on the series.
+    *
+    * Exactness: x and y must be integral (counts or fixed-point
+    * millis — cast enforced). All six sufficient statistics are exact
+    * integer sums; the final
+    * `corr = num / (sqrt(varx) · sqrt(vary))` is evaluated in doubles
+    * where every step (int→double casts below 2⁵³, one multiply by
+    * 10⁶, correctly-rounded sqrt/mul/div) is IEEE-deterministic, so
+    * `corr_micro` hash-matches a SQL oracle computing the identical
+    * expression tree. Pairs form by INNER join (both buckets
+    * observed); keys need `minPairs` aligned pairs and nonzero
+    * variance on both sides or they are dropped (correlation of a
+    * constant is undefined, not zero).
+    */
+  def laggedCorrelation(series: DataFrame, keyCols: Seq[String],
+      bucketCol: String, xCol: String, yCol: String, lagBuckets: Int,
+      bucketSecs: Long, minPairs: Int = 3): DataFrame = {
+    require(bucketSecs >= 1, s"bucketSecs must be >= 1: $bucketSecs")
+    require(minPairs >= 2, s"minPairs must be >= 2: $minPairs")
+    val shiftUs = lagBuckets.toLong * bucketSecs * 1000000L
+    val a = series.select(keyCols.map(col) :+
+      col(bucketCol).as("_b") :+ col(xCol).cast("long").as("_x"): _*)
+    // y at t + lag, re-stamped to t so the alignment is an equi join
+    val b = series.select(keyCols.map(col) :+
+      timestamp_micros(unix_micros(col(bucketCol).cast("timestamp")) -
+        lit(shiftUs)).as("_b") :+ col(yCol).cast("long").as("_y"): _*)
+    val g = a.join(b, keyCols :+ "_b")
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    val num = col("n_pairs") * col("_sxy") - col("_sx") * col("_sy")
+    val varx = col("n_pairs") * col("_sxx") - col("_sx") * col("_sx")
+    val vary = col("n_pairs") * col("_syy") - col("_sy") * col("_sy")
+    g.filter(col("n_pairs") >= minPairs && varx > 0 && vary > 0)
+      .select(keyCols.map(col) :+ col("n_pairs") :+
+        floor(num.cast("double") * lit(1000000.0) /
+          (sqrt(varx.cast("double")) * sqrt(vary.cast("double"))))
+          .cast("long").as("corr_micro"): _*)
+  }
+
+  /** Multi-window SLO burn-rate alerting (the Google SRE workbook
+    * rule): per (key, hour) the short-window bad-event rate and the
+    * trailing `longHours` rate, alerting only when BOTH exceed
+    * `burn × budget` — the short window catches fast burn, the long
+    * window suppresses blips. `isBad` is any boolean column
+    * expression (e.g. `col("value") >= 200`).
+    *
+    * Plan shape: ONE aggregation shuffles raw events down to
+    * (key, hour) counts; the trailing window then runs over
+    * bucket-count-sized data (RANGE frame on the integer hour index,
+    * so unobserved hours inside the window are correctly absent
+    * rather than re-densified). Rates are integral millis via
+    * floor(1000·bad/total); the alert predicate is the integer
+    * cross-multiply `bad·budgetDen ≥ burn·budgetNum·total` — exact,
+    * hash-comparable.
+    */
+  def burnRate(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      isBad: Column, longHours: Int, budgetNum: Int, budgetDen: Int,
+      burnFactor: Int): DataFrame = {
+    require(longHours >= 1, s"longHours must be >= 1: $longHours")
+    require(budgetNum >= 1 && budgetNum <= budgetDen,
+      s"budget must be in (0, 1]: $budgetNum/$budgetDen")
+    require(burnFactor >= 1, s"burnFactor must be >= 1: $burnFactor")
+    val hourly = df
+      .groupBy(keyCols.map(col) :+
+        floor(unix_micros(col(tsCol).cast("timestamp")).cast("double") /
+          lit(3600000000.0)).cast("long").as("_hidx"): _*)
+      .agg(count(lit(1)).as("total"),
+        sum(when(isBad, 1L).otherwise(0L)).as("bad"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_hidx"))
+      .rangeBetween(-(longHours - 1).toLong, 0L)
+    val burns = hourly
+      .withColumn(s"total_${longHours}h", sum(col("total")).over(w))
+      .withColumn(s"bad_${longHours}h", sum(col("bad")).over(w))
+    val breach = (bad: Column, total: Column) =>
+      bad * lit(budgetDen.toLong) >=
+        lit(burnFactor.toLong * budgetNum) * total
+    burns.select(keyCols.map(col) :+
+      timestamp_micros(col("_hidx") * lit(3600000000L)).as("bucket_ts") :+
+      col("total") :+ col("bad") :+
+      col(s"total_${longHours}h") :+ col(s"bad_${longHours}h") :+
+      floor(col("bad") * lit(1000.0) / col("total")).cast("long")
+        .as("burn_short_milli") :+
+      floor(col(s"bad_${longHours}h") * lit(1000.0) /
+        col(s"total_${longHours}h")).cast("long").as("burn_long_milli") :+
+      (breach(col("bad"), col("total")) &&
+        breach(col(s"bad_${longHours}h"), col(s"total_${longHours}h")))
+        .as("alert"): _*)
+  }
+
   /** Rolling z-score anomaly flags: mark samples deviating more than
     * k·σ from the mean of their own trailing window — the standard
     * streaming-metrics outlier rule (the reference only renders

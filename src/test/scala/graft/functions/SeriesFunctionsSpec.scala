@@ -3,6 +3,7 @@ package graft.functions
 import java.sql.Timestamp
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions.col
 
 class SeriesFunctionsSpec extends SparkSuite {
   import spark.implicits._
@@ -148,5 +149,62 @@ class SeriesFunctionsSpec extends SparkSuite {
     val out = SeriesFunctions.rollingDistinctActivesSketch(df, "ts", "conv_id", 3)
       .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
     assert(out === Map("2024-01-01" -> 2L, "2024-01-03" -> 2L))
+  }
+
+  test("laggedCorrelation: perfect lead/lag coupling, dropped degenerates") {
+    // k1: y at t+1h is exactly 2x(t) → corr = +1; k2: y at t+1h is
+    // -x(t) shifted → corr = -1; k3: constant y → zero variance,
+    // dropped; k4: only 2 aligned pairs → below minPairs, dropped
+    def row(k: String, h: Int, x: Long, y: Long) =
+      (k, ts(f"2024-01-01 $h%02d:00:00"), x, y)
+    val series = Seq(
+      row("k1", 10, 1, 99), row("k1", 11, 2, 2), row("k1", 12, 3, 4),
+      row("k1", 13, 4, 6), row("k1", 14, 9, 8),
+      row("k2", 10, 1, 99), row("k2", 11, 2, 9), row("k2", 12, 3, 8),
+      row("k2", 13, 4, 7), row("k2", 14, 9, 6),
+      row("k3", 10, 1, 5), row("k3", 11, 2, 5), row("k3", 12, 3, 5),
+      row("k3", 13, 4, 5),
+      row("k4", 10, 1, 1), row("k4", 11, 2, 2), row("k4", 12, 3, 3)
+    ).toDF("k", "bucket_ts", "x", "y")
+    val got = SeriesFunctions
+      .laggedCorrelation(series, Seq("k"), "bucket_ts", "x", "y",
+        lagBuckets = 1, bucketSecs = 3600, minPairs = 3)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // floor semantics at the ±1 poles: sqrt(varx)·sqrt(vary) rounds a
+    // hair ABOVE the exact product, so +1 floors to 999999 while -1
+    // floors to -1000000 — deterministic IEEE behavior the SQL oracle
+    // reproduces bit-for-bit (the hash check is over this very value)
+    assert(got == Map("k1" -> ((4L, 999999L)), "k2" -> ((4L, -1000000L))))
+  }
+
+  test("burnRate: hourly + trailing window rates, gap-aware RANGE frame") {
+    // svc hour 0: 4/4 bad; hour 1: 1/10 bad; hour 7 after a 5h gap:
+    // 1/2 bad — the 6h RANGE frame at hour 7 covers hidx 2..7, so the
+    // gap hours are simply absent and the long window sees only hour 7
+    def ev(h: Int, m: Int, bad: Boolean) =
+      ("svc", ts(f"2024-01-01 $h%02d:$m%02d:00"), if (bad) 300.0 else 10.0)
+    val events = (
+      (0 until 4).map(m => ev(0, m, bad = true)) ++
+      (0 until 10).map(m => ev(1, m, bad = m == 0)) ++
+      Seq(ev(7, 0, bad = true), ev(7, 1, bad = false))
+    ).toDF("svc", "ts", "value")
+    val got = SeriesFunctions.burnRate(events, Seq("svc"), "ts",
+        col("value") >= 200.0, longHours = 6,
+        budgetNum = 1, budgetDen = 10, burnFactor = 2)
+      .select("bucket_ts", "total", "bad", "total_6h", "bad_6h",
+        "burn_short_milli", "burn_long_milli", "alert")
+      .collect().map(r => (r.getTimestamp(0).toString,
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(got("2024-01-01 00:00:00.0") ==
+      ((4L, 4L, 4L, 4L, 1000L, 1000L, true)))
+    // hour 1: short rate 10% < 20% threshold → no alert even though
+    // the long window (5/14 ≈ 35.7%) still burns
+    assert(got("2024-01-01 01:00:00.0") ==
+      ((10L, 1L, 14L, 5L, 100L, 357L, false)))
+    // hour 7: the gap evicts hours 0-1 from the RANGE frame
+    assert(got("2024-01-01 07:00:00.0") ==
+      ((2L, 1L, 2L, 1L, 500L, 500L, true)))
   }
 }
