@@ -817,6 +817,20 @@ object SparkEntry {
         .select("event_type", "user_id", "event_id", "v_milli",
           "level_milli", "trend_milli", "forecast_milli")),
 
+    // --- Holt-Winters additive-seasonal smoothing per (event_type,
+    // user) series, alpha = 0.2, beta = 0.3, gamma = 0.4, period 4 —
+    // level + trend + seasonal + one-step forecast; the oracle
+    // replays the identical integer triple-recurrence recursively,
+    // carrying the last m seasonals as a list ---
+    "q_holtwinters" -> ((s, dir) =>
+      graft.functions.SeriesFunctions.holtWintersSmooth(
+          s.read.parquet(s"$dir/events.parquet"),
+          Seq("event_type", "user_id"), "ts", "value",
+          aNum = 2, aDen = 10, bNum = 3, bDen = 10, gNum = 4, gDen = 10,
+          m = 4, orderCols = Seq("event_id"))
+        .select("event_type", "user_id", "event_id", "v_milli",
+          "level_milli", "trend_milli", "seasonal_milli", "forecast_milli")),
+
     // --- time-weighted average (LOCF integral) per (event_type,
     // user) at 1h buckets, 48-bucket staleness horizon — irregular
     // samples weighted by held time, not sample count ---
@@ -1885,6 +1899,54 @@ object SparkEntry {
           |      AND p.user_id = r.user_id AND p.rn = r.rn + 1))
           |SELECT event_type, user_id, event_id, v_milli, level_milli,
           |  trend_milli, level_milli + trend_milli AS forecast_milli
+          |FROM r""".stripMargin,
+
+      // recursive replay of the engine's exact Holt-Winters chain:
+      // level and seasonal-lookup are computed in nested selects so
+      // later terms can read them; the recursion carries the last
+      // m = 4 seasonals as a list (slist[1] IS s_{t-m} once full)
+      "q_holtwinters" ->
+        """WITH RECURSIVE pts AS (
+          |  SELECT event_type, user_id, event_id,
+          |    CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+          |    row_number() OVER (PARTITION BY event_type, user_id
+          |                       ORDER BY ts, event_id) AS rn
+          |  FROM events),
+          |r AS (
+          |  SELECT event_type, user_id, event_id, v_milli, rn,
+          |    v_milli AS level_milli, CAST(0 AS BIGINT) AS trend_milli,
+          |    CAST(0 AS BIGINT) AS seasonal_milli,
+          |    [CAST(0 AS BIGINT)] AS slist
+          |  FROM pts WHERE rn = 1
+          |  UNION ALL
+          |  SELECT event_type, user_id, event_id, v_milli, rn,
+          |    l AS level_milli,
+          |    CAST(floor((3 * (l - pl) + 7 * pb) / 10.0) AS BIGINT)
+          |      AS trend_milli,
+          |    s AS seasonal_milli,
+          |    CASE WHEN len(slist) < 4 THEN list_append(slist, s)
+          |         ELSE list_append(slist[2:], s) END AS slist
+          |  FROM (
+          |    SELECT *,
+          |      CAST(floor((4 * (v_milli - l) + 6 * sm) / 10.0) AS BIGINT)
+          |        AS s
+          |    FROM (
+          |      SELECT *,
+          |        CAST(floor((2 * (v_milli - sm) + 8 * (pl + pb)) / 10.0)
+          |          AS BIGINT) AS l
+          |      FROM (
+          |        SELECT p.event_type, p.user_id, p.event_id, p.v_milli,
+          |          p.rn, r.level_milli AS pl, r.trend_milli AS pb,
+          |          r.slist,
+          |          CASE WHEN len(r.slist) < 4 THEN CAST(0 AS BIGINT)
+          |               ELSE r.slist[1] END AS sm
+          |        FROM pts p JOIN r ON p.event_type = r.event_type
+          |          AND p.user_id = r.user_id AND p.rn = r.rn + 1))))
+          |SELECT event_type, user_id, event_id, v_milli, level_milli,
+          |  trend_milli, seasonal_milli,
+          |  level_milli + trend_milli +
+          |    (CASE WHEN len(slist) < 4 THEN CAST(0 AS BIGINT)
+          |          ELSE slist[1] END) AS forecast_milli
           |FROM r""".stripMargin,
 
       // the engine's LOCF integral in epoch-micros integers: lead

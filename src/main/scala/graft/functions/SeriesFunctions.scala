@@ -334,6 +334,89 @@ object SeriesFunctions {
         (col("_z._ls") + col("_z._bs")).as("forecast_milli"): _*)
   }
 
+  /** Exact Holt-Winters additive-seasonal smoothing (triple
+    * exponential) per series — [[holtSmooth]] plus a seasonal
+    * component of period `m`: the standard smoother for daily/weekly-
+    * cycled series (hour-of-day load, day-of-week traffic), where
+    * Holt alone lags every cycle. Same bounded-series fold contract
+    * (one ordered array + `aggregate()` per series, embarrassingly
+    * parallel across series; downsample unbounded series first).
+    *
+    * Recurrence over `v_milli` fixed point (α = aNum/aDen,
+    * β = bNum/bDen, γ = gNum/gDen rational; seasonal s indexes m
+    * steps back, 0 until one full period has passed):
+    *
+    * {{{
+    * l₁ = v₁;  b₁ = 0;  s₁ = 0
+    * sₚ = (t ≤ m) ? 0 : s_{t−m}
+    * lₜ = floor((aNum·(vₜ − sₚ) + (aDen−aNum)·(lₜ₋₁+bₜ₋₁)) / aDen)
+    * bₜ = floor((bNum·(lₜ−lₜ₋₁) + (bDen−bNum)·bₜ₋₁) / bDen)
+    * sₜ = floor((gNum·(vₜ−lₜ) + (gDen−gNum)·sₚ) / gDen)
+    * forecastₜ = lₜ + bₜ + s_{t+1−m}  (0 while t+1 ≤ m)
+    * }}}
+    *
+    * Every intermediate < 2⁵² so the double divisions floor
+    * identically in any IEEE engine — the DuckDB oracle replays the
+    * chain recursively, carrying the last m seasonals as a list. The
+    * accumulator interleaves (level, trend, seasonal) triples in one
+    * flat long array; s_{t−m} is plain index arithmetic into it.
+    */
+  def holtWintersSmooth(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, aNum: Int, aDen: Int, bNum: Int, bDen: Int,
+      gNum: Int, gDen: Int, m: Int, orderCols: Seq[String]): DataFrame = {
+    require(aNum >= 1 && aNum <= aDen, s"alpha must be in (0, 1]: $aNum/$aDen")
+    require(bNum >= 1 && bNum <= bDen, s"beta must be in (0, 1]: $bNum/$bDen")
+    require(gNum >= 1 && gNum <= gDen, s"gamma must be in (0, 1]: $gNum/$gDen")
+    require(m >= 2, s"seasonal period must be >= 2: $m")
+    require(aDen <= 1000 && bDen <= 1000 && gDen <= 1000,
+      s"denominators above 1000 risk the 2^52 exactness bound: $aDen/$bDen/$gDen")
+    val pt = struct((tsCol +: orderCols).map(col) :+
+      floor(col(valCol) * lit(1000.0)).cast("long").as("v_milli"): _*)
+    // seasonal m steps back: s of step t−m sits at flat index 3(t−m)
+    // = size(acc) − (3m − 3) while processing step t = size/3 + 1
+    def sPrev(acc: Column): Column =
+      when(size(acc) < 3 * m, lit(0L))
+        .otherwise(element_at(acc, size(acc) - lit(3 * m - 3)))
+    def lNext(acc: Column, x: Column): Column = floor(
+      (lit(aNum.toLong) * (x.getField("v_milli") - sPrev(acc)) +
+        lit((aDen - aNum).toLong) *
+          (element_at(acc, -3) + element_at(acc, -2))).cast("double") /
+        lit(aDen.toDouble)).cast("long")
+    val step = (acc: Column, x: Column) =>
+      when(size(acc) === 0,
+        array(x.getField("v_milli"), lit(0L), lit(0L)))
+        .otherwise(concat(acc, array(
+          lNext(acc, x),
+          floor((lit(bNum.toLong) * (lNext(acc, x) - element_at(acc, -3)) +
+            lit((bDen - bNum).toLong) * element_at(acc, -2)).cast("double") /
+            lit(bDen.toDouble)).cast("long"),
+          floor((lit(gNum.toLong) * (x.getField("v_milli") - lNext(acc, x)) +
+            lit((gDen - gNum).toLong) * sPrev(acc)).cast("double") /
+            lit(gDen.toDouble)).cast("long"))))
+    val idx = sequence(lit(1), size(col("_pts")))
+    df.select(keyCols.map(col) :+ pt.as("_pt"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col("_pt"))).as("_pts"))
+      .withColumn("_lbs", aggregate(col("_pts"), typedlit(Seq.empty[Long]), step))
+      .withColumn("_ls", transform(idx, i => element_at(col("_lbs"), i * 3 - 2)))
+      .withColumn("_bs", transform(idx, i => element_at(col("_lbs"), i * 3 - 1)))
+      .withColumn("_ss", transform(idx, i => element_at(col("_lbs"), i * 3)))
+      // forecast at t reads s_{t+1−m} = flat index 3(t+1−m)
+      .withColumn("_fs", transform(idx, i =>
+        when(i + 1 <= m, lit(0L))
+          .otherwise(element_at(col("_lbs"), i * 3 - lit(3 * m - 3)))))
+      .select(keyCols.map(col) :+
+        explode(arrays_zip(col("_pts"), col("_ls"), col("_bs"), col("_ss"),
+          col("_fs"))).as("_z"): _*)
+      .select(keyCols.map(col) ++
+        (tsCol +: orderCols).map(c => col(s"_z._pts.$c").as(c)) :+
+        col("_z._pts.v_milli").as("v_milli") :+
+        col("_z._ls").as("level_milli") :+
+        col("_z._bs").as("trend_milli") :+
+        col("_z._ss").as("seasonal_milli") :+
+        (col("_z._ls") + col("_z._bs") + col("_z._fs")).as("forecast_milli"): _*)
+  }
+
   /** Time-weighted average per (series, bucket) for IRREGULAR
     * samples — the LOCF integral (TimescaleDB `time_weight`,
     * InfluxDB `integral`): each value holds until the next sample,
