@@ -44,7 +44,11 @@ object ScaleSpot {
     "q_histogram_p90", "q_cohort_retention",
     "q_seasonal_baseline", "q_cusum_drift",
     "q_funnel", "q_transition_matrix", "q_holt_forecast", "q_twa_1h",
-    "q_snapshot_diff", "q_profile")
+    "q_snapshot_diff", "q_profile",
+    // r5 late additions: exact set-sim join, edit-distance near-dup,
+    // Holt-Winters, lag correlation, burn rate
+    "q_setsim_join", "q_editdist_neardup", "q_holtwinters",
+    "q_lag_corr", "q_burn_rate", "q_keywords", "q_search")
 
   /** The ANN scale path proper: parameters sized from the corpus
     * ([[graft.operators.Similarity.autoPlanes]]/`autoNlist`), keeping

@@ -946,6 +946,19 @@ object SparkEntry {
         lagBuckets = 1, bucketSecs = 3600, minPairs = 3)
     }),
 
+    // --- per-doc keyword extraction: top-5 distinctive terms by the
+    // rational tf/df score (floor micros; ln-idf deliberately avoided
+    // — cross-engine libm is not bit-stable, rank is what matters) ---
+    "q_keywords" -> ((s, dir) =>
+      graft.operators.TextRetrieval.keywordsOf(s, dir, k = 5)),
+
+    // --- conjunctive term search over the relational inverted index:
+    // docs containing ALL of {spark, window, merge}, scored by Σtf ---
+    "q_search" -> ((s, dir) =>
+      graft.operators.TextRetrieval.conjunctiveSearch(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        Seq("spark", "window", "merge"))),
+
     // --- multi-window SLO burn rate per event_type: hourly bad-rate
     // (value >= 200) vs the trailing 6h rate, alert when BOTH burn
     // >= 2x the 10% budget — the SRE-workbook alerting rule as one
@@ -2150,6 +2163,39 @@ object SparkEntry {
           |FROM g
           |WHERE n_pairs >= 3 AND n_pairs * sxx - sx * sx > 0
           |  AND n_pairs * syy - sy * sy > 0""".stripMargin),
+
+      "q_keywords" ->
+        """WITH tc AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM (
+          |    SELECT doc_id,
+          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          |    FROM documents)
+          |  WHERE term != '' GROUP BY 1, 2),
+          |dfreq AS (
+          |  SELECT term, count(DISTINCT doc_id) AS df FROM tc GROUP BY 1),
+          |s AS (
+          |  SELECT tc.doc_id, tc.term, tc.tf, dfreq.df,
+          |    CAST(floor(tc.tf * 1000000.0 / dfreq.df) AS BIGINT)
+          |      AS score_micro
+          |  FROM tc JOIN dfreq USING (term))
+          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+          |  score_micro
+          |FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY score_micro DESC, term) AS rank
+          |  FROM s)
+          |WHERE rank <= 5""".stripMargin,
+
+      "q_search" ->
+        """WITH tc AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM (
+          |    SELECT doc_id,
+          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          |    FROM documents)
+          |  WHERE term != '' GROUP BY 1, 2)
+          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+          |FROM tc WHERE term IN ('spark', 'window', 'merge')
+          |GROUP BY 1 HAVING count(DISTINCT term) = 3""".stripMargin,
 
       "q_burn_rate" ->
         """WITH h AS (

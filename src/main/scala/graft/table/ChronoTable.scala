@@ -56,7 +56,17 @@ final class ChronoTable private (
       * can never match — at 100 TB the difference between reading a
       * partition and reading a file.
       */
-    val statsTsCol: Option[String]) {
+    val statsTsCol: Option[String],
+    /** Declared cluster column (Iceberg sort-order analog): per-file
+      * lexicographic min/max bounds are recorded at commit time, and
+      * [[compactSorted]] rewrites partitions range-clustered on it so
+      * the bounds become DISJOINT — after which [[readKeyRange]]
+      * point/range lookups on the key read one file per partition
+      * instead of all of them. Ingest order rarely correlates with
+      * the key, so freshly appended files all span the whole key
+      * domain; clustering is what makes the recorded stats bite.
+      */
+    val clusterCol: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private def dataRoot = s"$root/data"
@@ -80,7 +90,9 @@ final class ChronoTable private (
           f.get("addedBy").asLong,
           Option(f.get("minTsUs")).map(_.asLong),
           Option(f.get("maxTsUs")).map(_.asLong),
-          Option(f.get("rows")).map(_.asLong))
+          Option(f.get("rows")).map(_.asLong),
+          Option(f.get("minKey")).map(_.asText),
+          Option(f.get("maxKey")).map(_.asText))
       }.toSeq
       val summary = n.get("summary").properties().asScala
         .map(e => e.getKey -> e.getValue.asText).toMap
@@ -118,6 +130,8 @@ final class ChronoTable private (
       f.minTsUs.foreach(fn.put("minTsUs", _))
       f.maxTsUs.foreach(fn.put("maxTsUs", _))
       f.rows.foreach(fn.put("rows", _))
+      f.minKey.foreach(fn.put("minKey", _))
+      f.maxKey.foreach(fn.put("maxKey", _))
     }
     val sm = node.putObject("summary")
     s.summary.foreach { case (k, v) => sm.put(k, v) }
@@ -167,34 +181,51 @@ final class ChronoTable private (
     // quietly disable stats pruning for the whole batch
     val realTarget = scala.util.Try(target.toRealPath()).getOrElse(
       target.toAbsolutePath)
-    val stats: Map[String, (Long, Long)] = statsTsCol match {
-      case Some(c) if parquetFiles.nonEmpty =>
-        spark.read.option("basePath", dataRoot).parquet(target.toString)
-          .groupBy(input_file_name().as("f"))
-          .agg(min(unix_micros(col(c).cast("timestamp"))).as("mn"),
-            max(unix_micros(col(c).cast("timestamp"))).as("mx"))
-          .collect()
-          .flatMap { r =>
-            // input_file_name is a URI (file:/...; %-escaped) — decode
-            // to a filesystem path before relativizing against target
-            val raw = r.getString(0)
-            val fsPath = scala.util.Try(Paths.get(new java.net.URI(raw)))
-              .getOrElse(Paths.get(raw))
-            val realFs = scala.util.Try(fsPath.toRealPath()).getOrElse(fsPath)
-            val rel = scala.util.Try(realTarget.relativize(realFs).toString)
-              .getOrElse(realFs.toString
-                .stripPrefix(realTarget.toString).stripPrefix("/"))
-            if (r.isNullAt(1) || r.isNullAt(2)) None
-            else Some(rel -> ((r.getLong(1), r.getLong(2))))
-          }.toMap
-      case _ => Map.empty
-    }
+    // ONE stats scan of the new batch covers both the ts bounds and
+    // the cluster-key bounds (adding a second scan per configured
+    // stats column would double write-amplification for nothing)
+    case class FileStats(minTs: Option[Long], maxTs: Option[Long],
+      minKey: Option[String], maxKey: Option[String])
+    val statAggs =
+      statsTsCol.toSeq.flatMap(c => Seq(
+        min(unix_micros(col(c).cast("timestamp"))).as("_mn_ts"),
+        max(unix_micros(col(c).cast("timestamp"))).as("_mx_ts"))) ++
+      clusterCol.toSeq.flatMap(c => Seq(
+        min(col(c).cast("string")).as("_mn_key"),
+        max(col(c).cast("string")).as("_mx_key")))
+    val stats: Map[String, FileStats] =
+      if (statAggs.isEmpty || parquetFiles.isEmpty) Map.empty
+      else spark.read.option("basePath", dataRoot).parquet(target.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(statAggs.head, statAggs.tail: _*)
+        .collect()
+        .map { r =>
+          // input_file_name is a URI (file:/...; %-escaped) — decode
+          // to a filesystem path before relativizing against target
+          val raw = r.getString(0)
+          val fsPath = scala.util.Try(Paths.get(new java.net.URI(raw)))
+            .getOrElse(Paths.get(raw))
+          val realFs = scala.util.Try(fsPath.toRealPath()).getOrElse(fsPath)
+          val rel = scala.util.Try(realTarget.relativize(realFs).toString)
+            .getOrElse(realFs.toString
+              .stripPrefix(realTarget.toString).stripPrefix("/"))
+          def longAt(n: String): Option[Long] =
+            if (!r.schema.fieldNames.contains(n) || r.isNullAt(r.fieldIndex(n)))
+              None else Some(r.getLong(r.fieldIndex(n)))
+          def strAt(n: String): Option[String] =
+            if (!r.schema.fieldNames.contains(n) || r.isNullAt(r.fieldIndex(n)))
+              None else Some(r.getString(r.fieldIndex(n)))
+          rel -> FileStats(longAt("_mn_ts"), longAt("_mx_ts"),
+            strAt("_mn_key"), strAt("_mx_key"))
+        }.toMap
     parquetFiles.map { p =>
       val rel = target.relativize(p).toString
       val partition = Option(Paths.get(rel).getParent).map(_.toString).getOrElse("")
       val st = stats.get(rel)
-      FileEntry(s"batch_id=$sid/$rel", partition, sid, st.map(_._1), st.map(_._2),
-        footerRowCount(p))
+      FileEntry(s"batch_id=$sid/$rel", partition, sid,
+        st.flatMap(_.minTs), st.flatMap(_.maxTs),
+        footerRowCount(p),
+        st.flatMap(_.minKey), st.flatMap(_.maxKey))
     }
   }
 
@@ -292,6 +323,67 @@ final class ChronoTable private (
       Some(rewritten), op = "compact",
       summary = Map("compacted_partitions" -> targets.size.toString))
   }
+
+  /** Sort-clustered compaction (Iceberg `rewrite_data_files` with a
+    * sort order): rewrite the selected partitions with rows RANGE-
+    * clustered on [[clusterCol]] — `filesPerPartition` range splits,
+    * each sorted — so per-file cluster-key bounds become (near-)
+    * disjoint and [[readKeyRange]] prunes to ~one file per partition
+    * instead of scanning them all. Plain [[compact]] fixes the
+    * small-file problem; this one fixes key-scatter: freshly ingested
+    * files each span the whole key domain, so key-stats pruning
+    * cannot bite until a clustering rewrite concentrates each key's
+    * rows. Rows are byte-identical; only layout (and `batch_id`
+    * lineage, as in compact) changes.
+    *
+    * At 100 TB this is the standard scheduled maintenance pass: the
+    * range-exchange shuffle is confined to the selected partitions
+    * (run it per freshly-sealed day, not over the table's history).
+    */
+  def compactSorted(select: Map[String, String] => Boolean = _ => true,
+      filesPerPartition: Int = 1): Long = {
+    val c = clusterCol.getOrElse(
+      throw new IllegalStateException("compactSorted needs a clusterCol"))
+    require(filesPerPartition >= 1, s"filesPerPartition: $filesPerPartition")
+    val live = currentSnapshot.map(_.files).getOrElse(Seq.empty)
+    val targets = live.groupBy(_.partition)
+      .filter { case (p, _) => select(parsePartition(p)) }
+    if (targets.isEmpty) return currentSnapshotId
+    val base = readFiles(targets.values.flatten.toSeq).drop("batch_id")
+    // range-partition on (dir-partition cols, key): each output file
+    // covers one key range WITHIN one partition dir; the in-file sort
+    // additionally gives parquet page-level locality on the key
+    val rangeCols = (partitionCols :+ c).map(col)
+    val nOut = math.max(1, targets.size * filesPerPartition)
+    val rewritten = base
+      .repartitionByRange(nOut, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+    overwritePartitions(
+      p => targets.keys.exists(k => parsePartition(k) == p),
+      Some(rewritten), op = "compact-sorted",
+      summary = Map("clustered_partitions" -> targets.size.toString,
+        "cluster_col" -> c))
+  }
+
+  /** Live files whose cluster-key bounds overlap [loKey, hiKey]
+    * (lexicographic, inclusive). Files without key stats are
+    * conservatively kept — pruning may under-prune, never drop data.
+    */
+  def scanFilesByKey(loKey: String, hiKey: String,
+      snapshotId: Long = currentSnapshotId): Seq[FileEntry] =
+    snapshot(snapshotId).map(_.files).getOrElse(Seq.empty).filter { f =>
+      (f.minKey, f.maxKey) match {
+        case (Some(mn), Some(mx)) => mn <= hiKey && mx >= loKey
+        case _ => true
+      }
+    }
+
+  /** Cluster-key range read using per-file key-stats pruning: reads
+    * ONLY the files [[scanFilesByKey]] keeps. Callers still apply
+    * their own row filter (stats bound files, not rows).
+    */
+  def readKeyRange(loKey: String, hiKey: String): DataFrame =
+    readFiles(scanFilesByKey(loKey, hiKey))
 
   /** Repoint CURRENT at an earlier snapshot (time travel / rollback). */
   def rollback(toSnapshotId: Long): Unit = {
@@ -463,7 +555,11 @@ object ChronoTable {
   final case class FileEntry(path: String, partition: String, addedBy: Long,
       minTsUs: Option[Long] = None, maxTsUs: Option[Long] = None,
       /** Footer-recorded row count (None in pre-r5 manifests). */
-      rows: Option[Long] = None)
+      rows: Option[Long] = None,
+      /** Lexicographic cluster-key bounds (None when the table has no
+        * cluster column or the file's key is all-null).
+        */
+      minKey: Option[String] = None, maxKey: Option[String] = None)
 
   final case class Snapshot(
       id: Long,
@@ -474,8 +570,9 @@ object ChronoTable {
 
   /** Open (or initialize) a table rooted at `root`. */
   def apply(spark: SparkSession, root: String, partitionCols: Seq[String],
-      statsTsCol: Option[String] = None): ChronoTable = {
+      statsTsCol: Option[String] = None,
+      clusterCol: Option[String] = None): ChronoTable = {
     Files.createDirectories(Paths.get(root))
-    new ChronoTable(spark, root, partitionCols, statsTsCol)
+    new ChronoTable(spark, root, partitionCols, statsTsCol, clusterCol)
   }
 }
