@@ -319,6 +319,49 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q_setsim_join / q_editdist_neardup candidates stay equi joins, never cartesian") {
+    Seq("q_setsim_join", "q_editdist_neardup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidate generation degraded to all-pairs:\n$p")
+    }
+  }
+
+  test("q_holtwinters is one grouped fold like ewma, never a self-join") {
+    val p = plan("q_holtwinters")
+    assert(!p.contains("Join"), s"holt-winters grew a join:\n$p")
+    assert(p.contains("partial_") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), s"holt-winters lost its grouped fold:\n$p")
+  }
+
+  test("q_lag_corr joins bucket-sized series frames as equi with map-side-combined stats") {
+    val p = plan("q_lag_corr")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"lag alignment degraded to a range/nested-loop join:\n$p")
+    assert(p.contains("partial_"), s"sufficient statistics lost map-side combine:\n$p")
+  }
+
+  test("q_burn_rate aggregates to hourly counts before its trailing window") {
+    val p = plan("q_burn_rate")
+    assert(!p.contains("Join"), s"burn rate grew a join:\n$p")
+    assert(p.contains("partial_"), s"hourly counts lost map-side combine:\n$p")
+    // the window must consume the AGGREGATED frame: exactly one Window
+    // node, keyed on the series
+    assert("(?s)Window".r.findAllIn(p).size >= 1 && p.contains("Window"),
+      s"burn rate lost its trailing window:\n$p")
+  }
+
+  test("q_keywords / q_search never degrade to nested-loop joins") {
+    Seq("q_keywords", "q_search").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q degraded:\n$p")
+      assert(p.contains("partial_"), s"$q lost map-side combine:\n$p")
+    }
+  }
+
   test("tier reads through ChronoTable push filters to parquet") {
     import org.apache.spark.sql.functions._
     val wh = java.nio.file.Files.createTempDirectory("graft-audit-").toString
