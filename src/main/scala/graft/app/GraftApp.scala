@@ -20,6 +20,7 @@ import graft.rollup.TranscriptStore
   *   rollup  <warehouse>                       incremental 1m/1h/1d cascade
   *   retain  <warehouse> <today> raw=N 1m=N 1h=N 1d=N
   *   compact <warehouse> [minFiles]            rewrite multi-file partitions
+  *   cluster <warehouse> [filesPerPartition]   sort-cluster on conv_id
   *   vacuum  <warehouse> [retainSnapshots]     reclaim unreferenced bytes
   *   publish <warehouse>                       publish serving dirs + watermarks
   *   status  <warehouse>                       snapshots + tier row counts
@@ -80,6 +81,11 @@ object GraftApp {
         val sids = store.compactAll(minFiles)
         val body = sids.map { case (k, v) => s""""$k":$v""" }.mkString(",")
         println(s"""{"op":"compact","snapshots":{$body}}""")
+      case "cluster" =>
+        val files = if (args.length > 2) args(2).toInt else 1
+        val sids = store.clusterAll(files)
+        val body = sids.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        println(s"""{"op":"cluster","snapshots":{$body}}""")
       case "vacuum" =>
         val retain = if (args.length > 2) args(2).toInt else 1
         val freed = store.vacuum(retain)

@@ -34,14 +34,21 @@ final class TranscriptStore(
     val warehouse: String,
     val convBuckets: Int = 8) {
 
+  // conv_id is every table's cluster key: per-file key bounds are
+  // recorded at commit time, and clusterAll/compactSorted makes
+  // single-conversation reads prune to ~one file per partition
   val raw: ChronoTable = ChronoTable(
-    spark, s"$warehouse/raw_turns", Seq("ts_day", "conv_bucket"), Some("ts"))
+    spark, s"$warehouse/raw_turns", Seq("ts_day", "conv_bucket"), Some("ts"),
+    clusterCol = Some("conv_id"))
   val tier1m: ChronoTable =
-    ChronoTable(spark, s"$warehouse/tier_1m", Seq("ts_day"), Some("bucket_ts"))
+    ChronoTable(spark, s"$warehouse/tier_1m", Seq("ts_day"), Some("bucket_ts"),
+      clusterCol = Some("conv_id"))
   val tier1h: ChronoTable =
-    ChronoTable(spark, s"$warehouse/tier_1h", Seq("ts_day"), Some("bucket_ts"))
+    ChronoTable(spark, s"$warehouse/tier_1h", Seq("ts_day"), Some("bucket_ts"),
+      clusterCol = Some("conv_id"))
   val tier1d: ChronoTable =
-    ChronoTable(spark, s"$warehouse/tier_1d", Seq("ts_day"), Some("bucket_ts"))
+    ChronoTable(spark, s"$warehouse/tier_1d", Seq("ts_day"), Some("bucket_ts"),
+      clusterCol = Some("conv_id"))
   val metrics: ChronoTable = ChronoTable(spark, s"$warehouse/metrics", Seq.empty)
 
   def tier(t: Tier): ChronoTable = t match {
@@ -271,6 +278,17 @@ final class TranscriptStore(
     Seq("raw" -> raw, "1m" -> tier1m, "1h" -> tier1h, "1d" -> tier1d,
       "metrics" -> metrics)
       .map { case (n, t) => n -> t.compact(minFiles = minFiles) }.toMap
+
+  /** Sort-cluster every conv_id-keyed table on its cluster key
+    * (Iceberg `rewrite_data_files` with a sort order): after this,
+    * per-conversation serving reads prune on the per-file key bounds
+    * instead of scanning every file of the partition. The metrics
+    * table has no cluster key and is skipped.
+    */
+  def clusterAll(filesPerPartition: Int = 1): Map[String, Long] =
+    Seq("raw" -> raw, "1m" -> tier1m, "1h" -> tier1h, "1d" -> tier1d)
+      .map { case (n, t) =>
+        n -> t.compactSorted(filesPerPartition = filesPerPartition) }.toMap
 
   /** Reclaim bytes across every table: delete data files referenced
     * by no retained snapshot (run after [[retain]], whose partition

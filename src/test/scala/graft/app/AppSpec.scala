@@ -53,6 +53,12 @@ class AppSpec extends SparkSuite {
     GraftApp.run(spark, Array("compact", wh))
     GraftApp.run(spark, Array("vacuum", wh, "1"))
     assert(store.readTurns().count() == rowsBefore)
+    // cluster (sort-order rewrite): rows unchanged, key bounds recorded
+    GraftApp.run(spark, Array("cluster", wh, "2"))
+    assert(store.readTurns().count() == rowsBefore)
+    assert(store.raw.currentSnapshot.get.files.forall(f =>
+      f.minKey.isDefined && f.maxKey.isDefined),
+      "clustered rewrite must record per-file conv_id bounds")
     // export (S10 debug CSV sink): header + every raw row round-trips
     val csvDir = Files.createTempDirectory("graft-export-").toString + "/raw_csv"
     GraftApp.run(spark, Array("export", wh, "raw", csvDir, "csv"))
