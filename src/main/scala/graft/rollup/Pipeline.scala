@@ -114,6 +114,17 @@ final class TranscriptStore(
   def readTurns(): DataFrame =
     raw.read().select(turnCols.map(col): _*)
 
+  /** Serve one conversation's turns: file-prune on the per-file
+    * conv_id bounds first ([[graft.table.ChronoTable.readKeyRange]]),
+    * then row-filter. After [[clusterAll]] this touches ~one file per
+    * partition; before it (scattered ingest) it degrades gracefully
+    * to the full-scan filter — stats prune files, never rows.
+    */
+  def readConversation(convId: String): DataFrame =
+    raw.readKeyRange(convId, convId)
+      .filter(col("conv_id") === convId)
+      .select(turnCols.map(col): _*)
+
   // ------------------------------------------------------------------
   // incremental rollup cascade
   // ------------------------------------------------------------------

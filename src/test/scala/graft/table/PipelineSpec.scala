@@ -207,6 +207,32 @@ class PipelineSpec extends SparkSuite {
     turns.unpersist()
   }
 
+  test("readConversation serves pruned-and-exact turns before and after clusterAll") {
+    val store = new TranscriptStore(spark, tmpWarehouse("serve"), convBuckets = 2)
+    // several appends so conversations scatter across files
+    (0 until 3).foreach { i =>
+      store.ingest(TranscriptGen.generate(spark, 12, 15, seed = 40L + i).toDF())
+    }
+    val conv = store.readTurns().select("conv_id").orderBy("conv_id")
+      .head().getString(0)
+    def turnsOf = store.readConversation(conv)
+      .orderBy("turn_idx").select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect().toSeq
+    val expected = store.readTurns().filter($"conv_id" === conv)
+      .orderBy("turn_idx").select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect().toSeq
+    assert(expected.nonEmpty)
+    assert(turnsOf == expected, "pre-clustering serve must already be exact")
+    val filesBefore = store.raw.scanFilesByKey(conv, conv).size
+    store.clusterAll(filesPerPartition = 1)
+    assert(turnsOf == expected, "clustering must not change contents")
+    val live = store.raw.currentSnapshot.get.files.size
+    val filesAfter = store.raw.scanFilesByKey(conv, conv).size
+    assert(filesAfter < math.max(filesBefore, live),
+      s"clustering should shrink the key read: $filesAfter vs live $live " +
+        s"(pre-cluster hit $filesBefore)")
+  }
+
   test("snapshot isolation: reader pinned to an old snapshot sees old data; rollback works") {
     val wh = tmpWarehouse("snap")
     val t = ChronoTable(spark, s"$wh/t", Seq("ts_day"))
