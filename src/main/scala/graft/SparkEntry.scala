@@ -904,16 +904,21 @@ object SparkEntry {
     }),
 
     // --- EXACT set-similarity join via prefix filtering (AllPairs/
-    // PPJoin family): ALL pairs with 5-gram Jaccard ≥ 0.3, found
-    // through a prefix-token equi-join (complete by the prefix
-    // lemma), never all-pairs. The oracle is SEMANTIC — DuckDB
-    // computes the full all-pairs Jaccard with no knowledge of the
-    // prefix trick, so it checks the filter's completeness too ---
+    // PPJoin family): ALL same-(lang, source) pairs with 5-gram
+    // Jaccard ≥ 0.25, found through a per-stratum prefix-token
+    // equi-join (complete by the prefix lemma), never all-pairs. The
+    // stratum scoping is the density rail: this fixture's 30-word
+    // vocabulary gives every shingle df ≈ n/2000, where UNSCOPED
+    // exact set-sim is near-quadratic for any algorithm. The oracle
+    // is SEMANTIC — DuckDB computes the full within-stratum all-pairs
+    // Jaccard with no knowledge of the prefix trick, so it checks the
+    // filter's completeness too ---
     "q_setsim_join" -> ((s, dir) =>
       graft.operators.SetSim.similarityJoin(
         Dedup.charShingles(
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 5),
-        "doc_id", tNum = 3, tDen = 10)),
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 5,
+          keepCols = Seq("lang", "source")),
+        "doc_id", tNum = 1, tDen = 4, groupCols = Seq("lang", "source"))),
 
     // --- edit-distance near-dup: LSH band-join candidates (the
     // q_minhash_lsh chain, DuckDB-mirrored) verified by exact
@@ -2104,7 +2109,7 @@ object SparkEntry {
       // verify arithmetic agrees
       "q_setsim_join" ->
         """WITH sh AS (
-          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |  SELECT lang, source, doc_id, unnest(list_distinct(list_transform(
           |    generate_series(1, greatest(length(text) - 4, 1)),
           |    i -> substr(text, i, 5)))) AS shingle
           |  FROM documents),
@@ -2112,14 +2117,15 @@ object SparkEntry {
           |inter AS (
           |  SELECT s1.doc_id AS id1, s2.doc_id AS id2, count(*) AS inter_sz
           |  FROM sh s1 JOIN sh s2
-          |    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+          |    ON s1.lang = s2.lang AND s1.source = s2.source
+          |    AND s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
           |  GROUP BY 1, 2)
           |SELECT i.id1, i.id2, i.inter_sz,
           |  z1.sz + z2.sz - i.inter_sz AS union_sz
           |FROM inter i
           |JOIN sz z1 ON z1.doc_id = i.id1
           |JOIN sz z2 ON z2.doc_id = i.id2
-          |WHERE i.inter_sz * 10 >= 3 * (z1.sz + z2.sz - i.inter_sz)""".stripMargin,
+          |WHERE i.inter_sz * 4 >= 1 * (z1.sz + z2.sz - i.inter_sz)""".stripMargin,
 
       // the q_minhash_lsh candidate chain + exact levenshtein verify
       // (both engines implement the identical unit-cost DP; the

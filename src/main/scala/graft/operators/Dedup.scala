@@ -53,13 +53,16 @@ object Dedup {
 
   /** Character n-gram shingles, one row per (id, shingle), distinct.
     * Pure HOF projection (sequence + transform + explode) — codegen'd,
-    * no UDF.
+    * no UDF. `keepCols` carries per-document attributes (e.g. the
+    * stratum keys a grouped similarity join scopes by) through the
+    * explode; they must be constant per id.
     */
-  def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol),
+  def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+      keepCols: Seq[String] = Nil): DataFrame =
+    df.select(keepCols.map(col) :+ col(idCol) :+
         explode(transform(
           sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
-          i => col(textCol).substr(i, lit(n)))).as("shingle"))
+          i => col(textCol).substr(i, lit(n)))).as("shingle"): _*)
       .distinct()
 
   /** MinHash signature: for each id, k minima of a universal affine

@@ -39,12 +39,24 @@ object SetSim {
 
   /** Candidate pairs complete for Jaccard ≥ tNum/tDen: ids sharing a
     * shingle within both prefixes. `shingles` must be DISTINCT
-    * (id, shingle) rows — [[Dedup.charShingles]] output shape.
+    * (id, shingle) rows — [[Dedup.charShingles]] output shape —
+    * carrying `groupCols` (constant per id) when the join is scoped.
+    *
+    * `groupCols` scopes the join WITHIN strata (e.g. (lang, source)):
+    * candidates never cross a group boundary, and document frequency
+    * is computed per group (the lemma's global order holds per group,
+    * and within-group df is what makes a token "rare" there). Scoping
+    * is also the DENSITY rail: prefix filtering prunes in proportion
+    * to df skew, so a corpus with an adversarially uniform, tiny
+    * shingle vocabulary (every token df ≈ n/vocab) leaves ANY exact
+    * algorithm near-quadratic — real dedup pipelines scope by
+    * language/source/domain for exactly this reason.
     */
   def prefixCandidates(shingles: DataFrame, idCol: String,
-      tNum: Int, tDen: Int): DataFrame = {
+      tNum: Int, tDen: Int, groupCols: Seq[String] = Nil): DataFrame = {
     require(tNum >= 1 && tNum <= tDen, s"threshold must be in (0, 1]: $tNum/$tDen")
-    val dfreq = shingles.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val gkey = groupCols :+ "shingle"
+    val dfreq = shingles.groupBy(gkey.map(col): _*).agg(count(lit(1)).as("_df"))
     val wSz = Window.partitionBy(col(idCol))
     val wRk = Window.partitionBy(col(idCol))
       .orderBy(col("_df").asc, col("shingle").asc)
@@ -53,26 +65,28 @@ object SetSim {
     val ceilT = floor((lit(tNum.toLong) * col("_sz") + lit(tDen.toLong - 1))
       .cast("double") / lit(tDen.toDouble)).cast("long")
     val prefix = shingles
-      .join(dfreq, "shingle")
+      .join(dfreq, gkey)
       .withColumn("_sz", count(lit(1)).over(wSz))
       .withColumn("_rk", row_number().over(wRk))
       .filter(col("_rk") <= col("_sz") - ceilT + 1)
-      .select(col(idCol), col("shingle"))
-    prefix.select(col("shingle"), col(idCol).as("id1"))
-      .join(prefix.select(col("shingle"), col(idCol).as("id2")), Seq("shingle"))
+      .select(gkey.map(col) :+ col(idCol): _*)
+    prefix.withColumnRenamed(idCol, "id1")
+      .join(prefix.withColumnRenamed(idCol, "id2"), gkey)
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
 
   /** Exact set-similarity join: ALL pairs (id1 < id2) whose shingle
-    * Jaccard ≥ tNum/tDen, with their integral (inter_sz, union_sz).
-    * Candidates from [[prefixCandidates]] (complete by the lemma),
-    * verification via [[Dedup.jaccardCounts]].
+    * Jaccard ≥ tNum/tDen — within a `groupCols` stratum when scoped —
+    * with their integral (inter_sz, union_sz). Candidates from
+    * [[prefixCandidates]] (complete by the lemma), verification via
+    * [[Dedup.jaccardCounts]].
     */
   def similarityJoin(shingles: DataFrame, idCol: String,
-      tNum: Int, tDen: Int): DataFrame = {
-    val cands = prefixCandidates(shingles, idCol, tNum, tDen)
-    Dedup.jaccardCounts(cands, shingles, idCol)
+      tNum: Int, tDen: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    val cands = prefixCandidates(shingles, idCol, tNum, tDen, groupCols)
+    Dedup.jaccardCounts(cands, shingles.select(col(idCol), col("shingle")),
+        idCol)
       .filter(col("inter_sz") * lit(tDen.toLong) >=
         lit(tNum.toLong) * col("union_sz"))
   }

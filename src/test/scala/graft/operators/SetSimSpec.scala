@@ -60,6 +60,30 @@ class SetSimSpec extends SparkSuite {
     assert(!cands.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("grouped similarityJoin equals within-stratum brute force and never crosses groups") {
+    val shingles = Dedup.charShingles(docs, "doc_id", "text", 5,
+      keepCols = Seq("lang", "source")).cache()
+    // brute force: all same-(lang, source) pairs, full-document Jaccard
+    val keyed = docs.select($"doc_id", $"lang", $"source")
+    val pairs = keyed.select($"lang", $"source", $"doc_id".as("id1"))
+      .join(keyed.select($"lang", $"source", $"doc_id".as("id2")),
+        Seq("lang", "source"))
+      .filter($"id1" < $"id2").select("id1", "id2")
+    val expected = Dedup
+      .jaccardCounts(pairs, shingles.select($"doc_id", $"shingle"), "doc_id")
+      .filter($"inter_sz" * lit(4) >= lit(1) * $"union_sz")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = SetSim.similarityJoin(shingles, "doc_id", 1, 4,
+        groupCols = Seq("lang", "source"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture must produce qualifying pairs")
+    assert(got == expected)
+    // no result pair may cross a stratum
+    val strata = docs.select($"doc_id", concat_ws("|", $"lang", $"source"))
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (a, b, _, _) => assert(strata(a) == strata(b)) }
+  }
+
   test("prefixCandidates prunes versus the sharing-pairs upper bound") {
     val shingles = Dedup.charShingles(docs, "doc_id", "text", 5).cache()
     val sharing = shingles.select($"shingle", $"doc_id".as("id1"))
