@@ -121,7 +121,7 @@ object ScaleSpot {
       .agg(max(col("doc_id"))).head().getLong(0)
     copies(spark.read.parquet(s"$src/documents.parquet"), d => i =>
       d.withColumn("doc_id", col("doc_id") + lit(i * (maxDoc + 1000001L)))
-        .withColumn("text", caesared(col("text"), i)))
+        .withColumn("text", permuted(col("text"), i)))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
@@ -140,21 +140,35 @@ object ScaleSpot {
   }
 
   private def markerText(src: String, factor: Int): String =
-    s"src=$src factor=$factor content=perturbed-v1"
+    s"src=$src factor=$factor content=perturbed-v2-permuted"
 
-  /** Per-copy character substitution (Caesar over each character
-    * class): copy 0 is the identity; other copies share length,
-    * whitespace structure, and token shape with the base text but
-    * have disjoint shingle sets — new documents, not clones.
+  /** Per-copy character substitution (seeded random PERMUTATION of
+    * each character class): copy 0 is the identity; other copies
+    * share length, whitespace structure, and token shape with the
+    * base text but have disjoint shingle sets — new documents, not
+    * clones.
+    *
+    * A permutation, NOT a Caesar rotation — learned the hard way: the
+    * engine's Fingerprint is a character polynomial, so a constant
+    * character shift becomes a constant MODULAR SHIFT of every
+    * same-length shingle's fingerprint, which rotates the whole
+    * minhash order-statistic circle per copy and inflates LSH band
+    * collisions copy-wide (q_editdist_neardup read 21x at factor 10
+    * from 27x candidate volume — pure harness artifact; per-candidate
+    * cost was sublinear). A seeded shuffle has no such linear
+    * structure.
     */
-  private def caesared(text: Column, i: Int): Column =
+  private def permuted(text: Column, i: Int): Column =
     if (i == 0) text else {
-      def rot(s: String) = { val n = i % s.length; s.drop(n) + s.take(n) }
+      def shuf(s: String, salt: Int) = {
+        val rnd = new scala.util.Random(i * 131 + salt)
+        new String(rnd.shuffle(s.toList).toArray)
+      }
       val lower = "abcdefghijklmnopqrstuvwxyz"
       val upper = lower.toUpperCase
       val digits = "0123456789"
       translate(text, lower + upper + digits,
-        rot(lower) + rot(upper) + rot(digits))
+        shuf(lower, 1) + shuf(upper, 2) + shuf(digits, 3))
     }
 
   /** Per-copy cyclic rotation of the embedding array: copy 0 is the

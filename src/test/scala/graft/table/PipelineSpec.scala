@@ -233,6 +233,32 @@ class PipelineSpec extends SparkSuite {
         s"(pre-cluster hit $filesBefore)")
   }
 
+  test("laggedCorrelation served from the 1h tier equals the raw computation") {
+    import org.apache.spark.sql.functions._
+    val store = new TranscriptStore(spark, tmpWarehouse("lagcorr"), convBuckets = 2)
+    val turns = TranscriptGen.generate(spark, 20, 40, seed = 77L).toDF().cache()
+    store.ingest(turns)
+    store.rollupIncremental()
+    def corrOf(series: org.apache.spark.sql.DataFrame, x: String, y: String) =
+      graft.functions.SeriesFunctions.laggedCorrelation(
+          series, Seq("conv_id"), "bucket_ts", x, y,
+          lagBuckets = 1, bucketSecs = 3600, minPairs = 3)
+        .as[(String, Long, Long)].collect().toSet
+    val raw = turns.groupBy($"conv_id",
+        Rollup.bucketWidth($"ts", "1h").as("bucket_ts"))
+      .agg(sum(when($"role" === "user", 1L).otherwise(0L)).as("u"),
+        sum(when($"role" === "assistant", 1L).otherwise(0L)).as("a"))
+    // the 1h tier already materializes per-role counts: correlation is
+    // served from bucket-count-sized partials, zero raw-turn reads
+    val tier = store.readTier(Tier.Hour)
+      .select($"conv_id", $"bucket_ts", $"role_user_cnt", $"role_assistant_cnt")
+    val got = corrOf(tier, "role_user_cnt", "role_assistant_cnt")
+    val want = corrOf(raw, "u", "a")
+    assert(want.nonEmpty, "fixture must yield correlatable series")
+    assert(got == want)
+    turns.unpersist()
+  }
+
   test("snapshot isolation: reader pinned to an old snapshot sees old data; rollback works") {
     val wh = tmpWarehouse("snap")
     val t = ChronoTable(spark, s"$wh/t", Seq("ts_day"))
