@@ -920,17 +920,23 @@ object SparkEntry {
           keepCols = Seq("lang", "source")),
         "doc_id", tNum = 1, tDen = 4, groupCols = Seq("lang", "source"))),
 
-    // --- edit-distance near-dup: LSH band-join candidates (the
-    // q_minhash_lsh chain, DuckDB-mirrored) verified by exact
-    // Levenshtein ≤ 30% of the longer text; the |len1−len2| prefilter
-    // kills most candidates before the O(len²) DP runs ---
+    // --- edit-distance near-dup: stratum-scoped LSH band-join
+    // candidates (the q_minhash_lsh chain restricted within
+    // (lang, source), DuckDB-mirrored) verified by exact Levenshtein
+    // ≤ 30% of the longer text; the |len1−len2| prefilter kills most
+    // candidates before the O(len²) DP runs. Stratum scoping is the
+    // density rail: this fixture's tiny shingle vocabulary makes
+    // UNSCOPED band collisions between dissimilar docs grow with the
+    // square of the corpus (measured 65x pair volume at a 10x corpus) ---
     "q_editdist_neardup" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = editedDocs(s, dir)
       val shingles = Dedup.charShingles(docs, "doc_id", "text", 5)
-      val cands = Dedup.lshCandidates(
+      val cands = Dedup.lshCandidatesGrouped(
         Dedup.lshBands(
           Dedup.minHashSignatures(shingles, "doc_id", k = 16),
-          "doc_id", k = 16, bands = 4), "doc_id")
+          "doc_id", k = 16, bands = 4),
+        "doc_id", docs.select("doc_id", "lang", "source"),
+        Seq("lang", "source"))
       graft.operators.SetSim.editDistanceNearDup(
         docs, "doc_id", "text", cands,
         maxDistPctNum = 30, maxDistPctDen = 100)
@@ -1083,6 +1089,31 @@ object SparkEntry {
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  /** Documents plus NEAR-duplicate planted copies (every 7th doc with
+    * a 3-char deterministic suffix edit, stratum preserved) — the
+    * edit-distance analog of [[dupedDocs]]: the planted pair's
+    * distance is exactly 3, well under the relative bound, and its
+    * shingle Jaccard is ≈1 so the LSH chain recovers it.
+    */
+  private def editedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "source", "text")
+    docs.unionByName(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          col("lang"), col("source"),
+          concat(col("text"), lit(" v"),
+            pmod(col("doc_id"), lit(10)).cast("string")).as("text")))
+  }
+
+  /** Shared DuckDB CTE mirroring [[editedDocs]]. */
+  private val editedDocsSql: String =
+    """SELECT doc_id, lang, source, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, lang, source,
+      |  text || ' v' || CAST(doc_id % 10 AS VARCHAR) AS text
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2131,12 +2162,14 @@ object SparkEntry {
       // (both engines implement the identical unit-cost DP; the
       // fixture is pure ASCII so char-vs-codepoint length agrees)
       "q_editdist_neardup" ->
-        s"""WITH ${minhashCandidatesSql(n = 5, k = 16, bands = 4)}
+        s"""WITH edited AS ($editedDocsSql),
+           |${minhashCandidatesSql(n = 5, k = 16, bands = 4,
+               src = "edited", sameGroupOn = Seq("lang", "source"))}
            |SELECT c.id1, c.id2,
            |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
            |FROM cand c
-           |JOIN documents a ON a.doc_id = c.id1
-           |JOIN documents b ON b.doc_id = c.id2
+           |JOIN edited a ON a.doc_id = c.id1
+           |JOIN edited b ON b.doc_id = c.id2
            |WHERE abs(length(a.text) - length(b.text)) * 100
            |    <= 30 * greatest(length(a.text), length(b.text))
            |  AND levenshtein(a.text, b.text) * 100
@@ -2421,8 +2454,12 @@ object SparkEntry {
     * both sides, generated here from the same splitmix64 stream).
     * Terminal CTE is `cand(id1, id2)`.
     */
+  /** @param sameGroupOn when non-empty, candidates are restricted to
+    *        pairs agreeing on these `src` columns (the engine's
+    *        [[graft.operators.Dedup.lshCandidatesGrouped]] scoping)
+    */
   private def minhashCandidatesSql(n: Int, k: Int, bands: Int,
-      src: String = "documents"): String = {
+      src: String = "documents", sameGroupOn: Seq[String] = Nil): String = {
     import graft.functions.MirrorHash
     val minExprs = (0 until k).map { i =>
       val aa = MirrorHash.a(MirrorHash.MinHashSalt, i)
@@ -2452,8 +2489,18 @@ object SparkEntry {
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       |    AND a.doc_id < b.doc_id)""".stripMargin
+       |    AND a.doc_id < b.doc_id${groupRestrict(src, sameGroupOn)})""".stripMargin
   }
+
+  /** Extra joins restricting a band-candidate pair to one stratum. */
+  private def groupRestrict(src: String, groupCols: Seq[String]): String =
+    if (groupCols.isEmpty) ""
+    else {
+      val eqs = groupCols.map(c => s"ga.$c = gb.$c").mkString(" AND ")
+      s"""
+         |  JOIN $src ga ON ga.doc_id = a.doc_id
+         |  JOIN $src gb ON gb.doc_id = b.doc_id AND $eqs""".stripMargin
+    }
 
   /** DuckDB mirror of [[Dedup.simHash]]: 64 Carter–Wegman sign sums
     * over token fingerprints, packed with precomputed bit literals

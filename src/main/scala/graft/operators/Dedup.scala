@@ -112,6 +112,31 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** [[lshCandidates]] scoped WITHIN strata: `groups` maps each id to
+    * its `groupCols` values (e.g. (lang, source)), which join into
+    * the band key so candidates never cross a stratum. This is the
+    * density rail for corpora whose background similarity is high —
+    * on a tiny shared shingle vocabulary, band collisions between
+    * genuinely-dissimilar documents grow with the square of the
+    * UNSCOPED population (the collision probability is a property of
+    * the corpus, not the hash family: re-drawing the minhash family
+    * moves the count around but not its order of magnitude). Real
+    * dedup pipelines scope by language/source/domain for the same
+    * reason the exact set-similarity join does.
+    */
+  def lshCandidatesGrouped(bandsDf: DataFrame, idCol: String,
+      groups: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val keyed = bandsDf.join(groups, Seq(idCol))
+    val key = groupCols ++ Seq("band_idx", "band_hash")
+    val a = keyed.select((key :+ idCol).map(col): _*)
+      .withColumnRenamed(idCol, "id1")
+    val b = keyed.select((key :+ idCol).map(col): _*)
+      .withColumnRenamed(idCol, "id2")
+    a.join(b, key)
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
   /** Exact n-gram Jaccard for a pair table: returns integral
     * (intersection, union) sizes so downstream thresholds stay exact.
     * The shingle join is key-partitioned; candidates (from LSH) keep

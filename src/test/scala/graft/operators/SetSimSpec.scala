@@ -94,6 +94,24 @@ class SetSimSpec extends SparkSuite {
       s"prefix filter must prune: $cands candidates vs $sharing sharing pairs")
   }
 
+  test("lshCandidatesGrouped equals the ungrouped candidates restricted to one stratum") {
+    val shingles = Dedup.charShingles(docs, "doc_id", "text", 5)
+    val bands = Dedup.lshBands(
+      Dedup.minHashSignatures(shingles, "doc_id", k = 16),
+      "doc_id", k = 16, bands = 4)
+    val ungrouped = Dedup.lshCandidates(bands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val grouped = Dedup.lshCandidatesGrouped(bands, "doc_id",
+        docs.select($"doc_id", $"lang", $"source"), Seq("lang", "source"))
+      .as[(Long, Long)].collect().toSet
+    val strata = docs.select($"doc_id", concat_ws("|", $"lang", $"source"))
+      .as[(Long, String)].collect().toMap
+    val expected = ungrouped.filter { case (a, b) => strata(a) == strata(b) }
+    assert(grouped == expected)
+    assert(grouped.size < ungrouped.size,
+      "stratum scoping should prune cross-stratum collisions on this fixture")
+  }
+
   test("editDistanceNearDup keeps exactly the pairs within the relative bound") {
     val df = Seq(
       (1L, "hello world"), (2L, "hello vorld"), // dist 1, len 11: 1*100 <= 30*11
