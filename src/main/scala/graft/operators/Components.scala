@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected candidate-pair table — the
   * clustering stage a training-data dedup pipeline runs AFTER pair
@@ -58,19 +57,42 @@ object Components {
     // duplicated id would seed multiple self rows and break the
     // 1:1 pointer-jump join invariant (duplicating output rows) —
     // cheap relative to the per-round edge join.
+    // localCheckpoint for the same reason as `edges` below: the node
+    // universe is joined into the edge plan twice, so whatever deep
+    // candidate chain produced `ids` would otherwise be CLONED into
+    // the per-round logical plans (and into the size-estimation walk,
+    // which is multiplicative across join clones)
     val universe = ids.select(col(idCol).as("_u")).distinct()
-    // repartition on _b BEFORE persist: every round equi-joins labels
-    // on _b, and caching an already-hash-partitioned table lets each
+      .localCheckpoint()
+    // repartition on _b BEFORE materializing: every round equi-joins
+    // labels on _b, and an already-hash-partitioned table lets each
     // round's join reuse the stored partitioning instead of paying a
-    // fresh exchange of the (largest) edge side per round
+    // fresh exchange of the (largest) edge side per round.
+    //
+    // localCheckpoint, NOT persist: persist caches EXECUTION but the
+    // LOGICAL plan still carries the caller's full candidate chain —
+    // cloned TWICE by the direction union — and every round's AQE
+    // re-optimization re-walks that deep cloned tree in Catalyst's
+    // single-threaded BigInt size-estimation visitor. At a 100x
+    // corpus that walk alone pinned one core for 20+ minutes while
+    // 31 sat idle (observed via jstack: SizeInBytesOnlyStatsPlanVisitor
+    // in Toom-Cook BigInteger multiplies). Checkpointing truncates the
+    // plan to a LogicalRDD leaf (partitioning preserved), so each
+    // round plans against O(1) lineage — the same discipline the
+    // label frames below already follow.
+    // direction-doubling via explode, NOT a self-union: a union clones
+    // the caller's whole candidate-chain plan, and cloned join
+    // subtrees are what the estimation walk multiplies
     val edges = pairs
-      .select(col("id1").as("_a"), col("id2").as("_b"))
-      .unionByName(pairs.select(col("id2").as("_a"), col("id1").as("_b")))
+      .select(explode(array(
+        struct(col("id1").as("_a"), col("id2").as("_b")),
+        struct(col("id2").as("_a"), col("id1").as("_b")))).as("_e"))
+      .select(col("_e._a").as("_a"), col("_e._b").as("_b"))
       .join(universe.withColumnRenamed("_u", "_a"), Seq("_a"), "left_semi")
       .join(universe.withColumnRenamed("_u", "_b"), Seq("_b"), "left_semi")
       .distinct()
       .repartition(col("_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     try {
       val labelType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
       var labels = universe.select(col("_u").as("_id"), col("_u").as("_comp"))
@@ -122,7 +144,10 @@ object Components {
         s"connectedComponents did not converge in $maxIter rounds " +
           "(pointer jumping bounds rounds by log2(diameter); raise maxIter)")
       labels.select(col("_id").as(idCol), col("_comp").as("component"))
-    } finally edges.unpersist()
+    } finally {
+      org.apache.spark.sql.GraftShims.releaseCheckpoint(edges)
+      org.apache.spark.sql.GraftShims.releaseCheckpoint(universe); ()
+    }
   }
 
   /** Incremental connected components (r4 verdict ask #3): relabel a
