@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round measurement harness (guide §1.4): times declared
+  * queries in ISOLATION through the noop sink (computes every column,
+  * discards the write) and optionally dumps `.explain("formatted")`
+  * per query. Separate from [[Bench]], which is frozen for
+  * driver-comparable measurement — numbers from here are cited in
+  * OPTIMIZATION_r06.md, never written into BENCH_r*.json.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
+  *     sbt "runMain graft.BenchExtra q_setsim_join q_tree_depth"
+  * Env:
+  *   GRAFT_PLAN_DIR   if set, writes <dir>/<query>.txt explain output
+  *   GRAFT_RUNS       timed runs per query (default 2, min-of-N)
+  */
+object BenchExtra {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("GRAFT_RUNS", "2").toInt
+    val planDir = sys.env.get("GRAFT_PLAN_DIR")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    planDir.foreach(d => new java.io.File(d).mkdirs())
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      planDir.foreach { d =>
+        val df = fn(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, s"$name.txt"),
+          txt.getBytes("UTF-8"))
+      }
+      val times = (1 to runs).map { _ =>
+        spark.sparkContext.setJobDescription(s"benchextra:$name")
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"[benchextra] $name%-32s min=${times.min}%8.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

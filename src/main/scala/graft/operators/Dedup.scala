@@ -21,6 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Share a subtree consumed by several downstream subplans without
+    * recomputing it per consumer: lazy `persist(MEMORY_AND_DISK)`,
+    * NOT `localCheckpoint` — an eager checkpoint inserts a
+    * synchronous job barrier per shared frame, serializing a query
+    * into a chain of small jobs and losing the stage overlap that
+    * keeps cores busy (measured: the checkpointed setsim chain ran
+    * ~1.5× SLOWER at sf0.1 than recomputing). Persist adds no job:
+    * the first stage that touches the frame computes and caches it,
+    * later consumers read the cache. Iterative operators
+    * ([[Components]]/[[TreeDepth]]) still use localCheckpoint, where
+    * truncating per-round LINEAGE is the point. No-op when the caller
+    * already cached or checkpointed the frame.
+    */
+  private[graft] def materializeOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+        org.apache.spark.sql.GraftShims.checkpointedRdd(df).isDefined) df
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact dedup, keep-first pinned by an explicit order column —
     * never an unpinned dropDuplicates (SURVEY.md §7 hard parts:
     * nondeterministic keep-first is a bug, not a semantics).
@@ -92,12 +110,21 @@ object Dedup {
   def lshBands(signatures: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val rows = k / bands
-    val bandRows = (0 until bands).map { b =>
+    // ONE pass + explode, not a bands-way unionByName of selects: a
+    // union CLONES the signature plan per band, so the whole upstream
+    // chain (shingle explode+distinct, fingerprint, k min-aggregates)
+    // was computed `bands` times per evaluation (guide §2.4: remove
+    // shuffles/passes outright). Row set is identical — (id, band_idx,
+    // band_hash) with band_idx = array position.
+    val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
-      signatures.select(col(idCol), lit(b).as("band_idx"),
+      struct(lit(b).as("band_idx"),
         graft.functions.MirrorHash.bandCombine(cols).as("band_hash"))
     }
-    bandRows.reduce(_ unionByName _)
+    signatures
+      .select(col(idCol), explode(array(bandStructs: _*)).as("_band"))
+      .select(col(idCol), col("_band.band_idx").as("band_idx"),
+        col("_band.band_hash").as("band_hash"))
   }
 
   /** Candidate pairs: ids sharing ≥1 LSH band. Self equi-join on the
@@ -105,8 +132,13 @@ object Dedup {
     * hits.
     */
   def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.select(col("band_idx"), col("band_hash"), col(idCol).as("id1"))
-    val b = bandsDf.select(col("band_idx"), col("band_hash"), col(idCol).as("id2"))
+    // materialize the band table ONCE before the self-join: the join
+    // clones its input plan, so the minhash chain behind it was
+    // otherwise computed twice (guide §2.4). The checkpointed frame
+    // is (id, band_idx, band_hash) — O(n·bands) skinny rows.
+    val bands = materializeOnce(bandsDf)
+    val a = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("id1"))
+    val b = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("id2"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
@@ -126,7 +158,8 @@ object Dedup {
     */
   def lshCandidatesGrouped(bandsDf: DataFrame, idCol: String,
       groups: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val keyed = bandsDf.join(groups, Seq(idCol))
+    // same single-materialization discipline as [[lshCandidates]]
+    val keyed = materializeOnce(bandsDf.join(groups, Seq(idCol)))
     val key = groupCols ++ Seq("band_idx", "band_hash")
     val a = keyed.select((key :+ idCol).map(col): _*)
       .withColumnRenamed(idCol, "id1")
@@ -143,13 +176,19 @@ object Dedup {
     * it linear-ish instead of all-pairs.
     */
   def jaccardCounts(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
-    val s1 = shingles.select(col(idCol).as("id1"), col("shingle"))
-    val s2 = shingles.select(col(idCol).as("id2"), col("shingle"))
-    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
+    // `shingles` feeds THREE subplans (s1, s2, sizes) and `pairs` two
+    // (inter + the outer left join) — without materialization each use
+    // recomputes its full upstream chain (shingle explode+distinct /
+    // the LSH candidate join). One checkpoint each (guide §2.4).
+    val sh = materializeOnce(shingles)
+    val prs = materializeOnce(pairs)
+    val s1 = sh.select(col(idCol).as("id1"), col("shingle"))
+    val s2 = sh.select(col(idCol).as("id2"), col("shingle"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = prs
       .join(s1, "id1").join(s2, Seq("id2", "shingle"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter_sz"))
-    pairs
+    prs
       .join(inter, Seq("id1", "id2"), "left")
       .na.fill(0L, Seq("inter_sz"))
       .join(sizes.withColumnRenamed("sz", "sz1").withColumnRenamed(idCol, "id1"), "id1")

@@ -52,41 +52,130 @@ object SetSim {
     * algorithm near-quadratic — real dedup pipelines scope by
     * language/source/domain for exactly this reason.
     */
-  def prefixCandidates(shingles: DataFrame, idCol: String,
-      tNum: Int, tDen: Int, groupCols: Seq[String] = Nil): DataFrame = {
-    require(tNum >= 1 && tNum <= tDen, s"threshold must be in (0, 1]: $tNum/$tDen")
+  /** Dictionary-encode distinct (groupCols, id, shingle) rows to
+    * (id, _sid): `_sid` is the dense rank of (stratum, shingle) in
+    * the (groupCols, df asc, shingle asc) order — i.e. the prefix
+    * lemma's GLOBAL order itself, packed into one int (guide §2.3:
+    * narrower types — every downstream join/sort/intersect runs on
+    * ints instead of shingle strings). Because `_sid` is unique per
+    * (stratum, shingle), equality on `_sid` alone both matches
+    * shingles AND scopes strata, and ordering by `_sid` within a
+    * document (all of whose rows share one stratum) reproduces the
+    * per-stratum (df, shingle) order exactly.
+    *
+    * The rank window is a single-partition sort of the VOCABULARY
+    * (bounded: distinct (stratum, shingle) values, not corpus rows) —
+    * the AllPairs df-ordering preprocessing step. Rail: vocabularies
+    * past ~10⁸ entries should swap in a range-bucketed two-level rank
+    * (the [[TrainingSet.packByTokenBudget]] prefix-sum shape).
+    */
+  private def encode(sh: DataFrame, idCol: String,
+      groupCols: Seq[String]): DataFrame = {
     val gkey = groupCols :+ "shingle"
-    val dfreq = shingles.groupBy(gkey.map(col): _*).agg(count(lit(1)).as("_df"))
+    val dict = sh.groupBy(gkey.map(col): _*).agg(count(lit(1)).as("_df"))
+      .withColumn("_sid", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(
+          (groupCols.map(col) :+ col("_df") :+ col("shingle")).map(_.asc): _*)))
+    sh.join(dict, gkey).select(col(idCol), col("_sid"))
+  }
+
+  /** Candidate pairs from an encoded (id, _sid) frame — see
+    * [[prefixCandidates]] for the contract. `enc` should be persisted
+    * (it feeds the size/rank windows and, via prefix, both self-join
+    * sides).
+    */
+  private def candidatesFromEncoded(enc: DataFrame, idCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
     val wSz = Window.partitionBy(col(idCol))
-    val wRk = Window.partitionBy(col(idCol))
-      .orderBy(col("_df").asc, col("shingle").asc)
+    val wRk = Window.partitionBy(col(idCol)).orderBy(col("_sid").asc)
     // prefix length = sz − ceil(t·sz) + 1; ceil via floor((num·sz +
     // den − 1)/den) — exact below 2⁵², identical in the SQL mirror
     val ceilT = floor((lit(tNum.toLong) * col("_sz") + lit(tDen.toLong - 1))
       .cast("double") / lit(tDen.toDouble)).cast("long")
-    val prefix = shingles
-      .join(dfreq, gkey)
+    // _sz and _rk ride along for the PPJoin length + positional
+    // filters below; the prefix table is persisted so the self-join's
+    // two sides share one computation of the window chain
+    val prefix = enc
       .withColumn("_sz", count(lit(1)).over(wSz))
       .withColumn("_rk", row_number().over(wRk))
       .filter(col("_rk") <= col("_sz") - ceilT + 1)
-      .select(gkey.map(col) :+ col(idCol): _*)
-    prefix.withColumnRenamed(idCol, "id1")
-      .join(prefix.withColumnRenamed(idCol, "id2"), gkey)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = prefix.select(col("_sid"), col(idCol).as("id1"),
+      col("_sz").as("_sz1"), col("_rk").as("_rk1"))
+    val right = prefix.select(col("_sid"), col(idCol).as("id2"),
+      col("_sz").as("_sz2"), col("_rk").as("_rk2"))
+    // PPJoin filters — both EXACT (completeness preserved), both pure
+    // expressions; they only drop candidates the Jaccard verify would
+    // reject anyway (guide §3.2: shrink the join's big side early):
+    //  - length filter: J ≥ t ⇒ t·max(sz1,sz2) ≤ |x∩y| ≤ min(sz1,sz2),
+    //    applied per collision row BEFORE the pair aggregation;
+    //  - positional filter: both sides order shingles by the ONE
+    //    global _sid order, so the EARLIEST collision (max of sz−rk
+    //    over collisions — earlier rank ⇔ larger remainder) bounds
+    //    the overlap: |x∩y| ≤ min(sz1−rk1, sz2−rk2) + 1.
+    //    J ≥ t ⇔ inter·(tDen+tNum) ≥ tNum·(sz1+sz2), so pairs whose
+    //    bound cannot reach that are dropped before verification.
+    left.join(right, Seq("_sid"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      .filter(greatest(col("_sz1"), col("_sz2")) * lit(tNum.toLong) <=
+        least(col("_sz1"), col("_sz2")) * lit(tDen.toLong))
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(least(col("_sz1") - col("_rk1"), col("_sz2") - col("_rk2")))
+          .as("_rem"),
+        max(col("_sz1")).as("_s1"), max(col("_sz2")).as("_s2"))
+      .filter((col("_rem") + 1) * lit((tDen + tNum).toLong) >=
+        lit(tNum.toLong) * (col("_s1") + col("_s2")))
+      .select("id1", "id2")
+  }
+
+  def prefixCandidates(shingles: DataFrame, idCol: String,
+      tNum: Int, tDen: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    require(tNum >= 1 && tNum <= tDen, s"threshold must be in (0, 1]: $tNum/$tDen")
+    val sh = Dedup.materializeOnce(shingles)
+    candidatesFromEncoded(
+      Dedup.materializeOnce(encode(sh, idCol, groupCols)),
+      idCol, tNum, tDen)
   }
 
   /** Exact set-similarity join: ALL pairs (id1 < id2) whose shingle
     * Jaccard ≥ tNum/tDen — within a `groupCols` stratum when scoped —
-    * with their integral (inter_sz, union_sz). Candidates from
-    * [[prefixCandidates]] (complete by the lemma), verification via
-    * [[Dedup.jaccardCounts]].
+    * with their integral (inter_sz, union_sz). Candidates from the
+    * prefix lemma (complete), verification on per-document _sid
+    * arrays.
     */
   def similarityJoin(shingles: DataFrame, idCol: String,
       tNum: Int, tDen: Int, groupCols: Seq[String] = Nil): DataFrame = {
-    val cands = prefixCandidates(shingles, idCol, tNum, tDen, groupCols)
-    Dedup.jaccardCounts(cands, shingles.select(col(idCol), col("shingle")),
-        idCol)
+    require(tNum >= 1 && tNum <= tDen, s"threshold must be in (0, 1]: $tNum/$tDen")
+    // ONE shingle materialization feeds the dictionary aggregate and
+    // the encode join; ONE encoded materialization feeds candidate
+    // generation and verification (guide §2.4)
+    val sh = Dedup.materializeOnce(shingles)
+    val enc = Dedup.materializeOnce(encode(sh, idCol, groupCols))
+    val cands = candidatesFromEncoded(enc, idCol, tNum, tDen)
+    // Verification on per-document _sid ARRAYS, not an exploded
+    // re-join: jaccardCounts explodes each candidate pair back into
+    // Σ_pairs sz(id1) shingle rows and shuffles them twice (measured
+    // 26M rows / 9.4 s of the sf0.1 setsim query for 130K candidates
+    // of ~200 shingles each). Grouping the encoded ints to one array
+    // row per document turns the verify into two skinny equi-joins
+    // keyed on the candidate ids plus a per-row primitive-typed
+    // array_intersect — shuffle ∝ candidates·avg_sz INTS moved once
+    // (guide §8, §2.3), no exploded intermediate. Counts are
+    // identical: the encoding is a bijection on (stratum, shingle)
+    // and candidates never cross strata.
+    val docArr = enc
+      .groupBy(col(idCol))
+      .agg(collect_list(col("_sid")).as("_arr"), count(lit(1)).as("_sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds both pair sides
+    cands
+      .join(docArr.select(col(idCol).as("id1"), col("_arr").as("_a1"),
+        col("_sz").as("_sza")), "id1")
+      .join(docArr.select(col(idCol).as("id2"), col("_arr").as("_a2"),
+        col("_sz").as("_szb")), "id2")
+      .withColumn("inter_sz",
+        size(array_intersect(col("_a1"), col("_a2"))).cast("long"))
+      .select(col("id1"), col("id2"), col("inter_sz"),
+        (col("_sza") + col("_szb") - col("inter_sz")).as("union_sz"))
       .filter(col("inter_sz") * lit(tDen.toLong) >=
         lit(tNum.toLong) * col("union_sz"))
   }
@@ -109,7 +198,9 @@ object SetSim {
       pairs: DataFrame, maxDistPctNum: Int, maxDistPctDen: Int): DataFrame = {
     require(maxDistPctNum >= 0 && maxDistPctDen >= 1,
       s"bad relative bound: $maxDistPctNum/$maxDistPctDen")
+    // one materialization: the (id, text) frame feeds both pair sides
     val t = docs.select(col(idCol).as("_id"), col(textCol).as("_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bound = (l1: Column, l2: Column) =>
       lit(maxDistPctNum.toLong) * greatest(l1, l2)
     pairs

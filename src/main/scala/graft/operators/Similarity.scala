@@ -108,10 +108,16 @@ object Similarity {
         .select(col(idCol).as("id1"), col(idCol).as("id2"))
     }
     val vecs = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val bucketed = (0 until rotations).map { r =>
-      vecs.select(col("id"), lit(r).as("rot"),
-        lshBucket(col("v"), planes, r, dim).as("bucket"))
-    }.reduce(_ unionByName _)
+    // ONE pass computes every rotation's bucket (posexplode of an
+    // array of bucket keys — pos IS the rotation index), instead of a
+    // rotations-way unionByName that cloned and recomputed the vector
+    // scan per rotation; materialized once before the self-join so
+    // the two join sides share it (guide §2.4). The checkpointed rows
+    // are (id, rot, bucket) — no vector payload.
+    val bucketed = vecs
+      .select(col("id"), posexplode(array((0 until rotations).map(r =>
+        lshBucket(col("v"), planes, r, dim)): _*)).as(Seq("rot", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed.select(col("rot"), col("bucket"), col("id").as("id1"))
       .join(bucketed.select(col("rot"), col("bucket"), col("id").as("id2")),
         Seq("rot", "bucket"))
@@ -127,9 +133,11 @@ object Similarity {
     */
   def cosineNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
       pairs: DataFrame, threshold: Double): DataFrame = {
+    // one materialization: (id, vec, norm) feeds both pair sides
     val vecs = embeddings
       .select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))
       .withColumn("_n", norm(col("_v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(vecs.select(col("_id").as("id1"), col("_v").as("v1"), col("_n").as("n1")), Seq("id1"))
       .join(vecs.select(col("_id").as("id2"), col("_v").as("v2"), col("_n").as("n2")), Seq("id2"))
@@ -294,9 +302,14 @@ object Similarity {
       return embeddings.limit(0)
         .select(col(idCol).as("id1"), col(idCol).as("id2"))
     val cents = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters)
+    // materialize the skinny (cid, id) assignment once: the self-join
+    // below would otherwise clone the plan and run the O(n·nlist)
+    // assignment expression twice (guide §2.4)
     val assigned = embeddings
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("cid", element_at(ivfProbeIds(col("v"), cents, 1), 1))
+      .select(col("cid"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.select(col("cid"), col("id").as("id1"))
       .join(assigned.select(col("cid"), col("id").as("id2")), Seq("cid"))
       .filter(col("id1") < col("id2"))
@@ -316,20 +329,35 @@ object Similarity {
         lit(0L).as("rank"), col(idCol).as("nid"))
     val cents = trainIvfCentroids(embeddings, idCol, vecCol, nlist, iters,
       trainFraction)
+    // ONE evaluation of the O(nlist·dim) probe expression per row
+    // (the top-1 assignment is the probe list's head), materialized
+    // once and shared by the list side, the probe side, and both
+    // score-attach sides. Candidate generation joins ONLY skinny
+    // (cid, id) rows; vectors are attached to the DEDUPED pair set
+    // afterwards — the multi-probe exchange never carries payloads
+    // (guide §8: move decisions on small rows, heavy bytes once).
     val vecs = embeddings
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
-    val lists = vecs
-      .withColumn("cid", element_at(ivfProbeIds(col("v"), cents, 1), 1))
-      .select(col("cid"), col("id").as("nid"), col("v").as("nv"), col("n").as("nn"))
-    val probes = vecs
-      .select(col("id").as("qid"), col("v").as("qv"), col("n").as("qn"),
-        explode(ivfProbeIds(col("v"), cents, nprobe)).as("cid"))
-    val scored = probes.join(lists, Seq("cid"))
+      .withColumn("pids", ivfProbeIds(col("v"), cents, nprobe))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lists = vecs.select(element_at(col("pids"), 1).as("cid"),
+      col("id").as("nid"))
+    val probes = vecs.select(col("id").as("qid"),
+      explode(col("pids")).as("cid"))
+    // multi-probe duplicates collapse on the deduped (qid, nid) pair —
+    // the pair's cosine is probe-independent, so distinct-then-score
+    // equals the old score-then-max(cos) row for row
+    val cands = probes.join(lists, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val scored = cands
+      .join(vecs.select(col("id").as("qid"), col("v").as("qv"),
+        col("n").as("qn")), Seq("qid"))
+      .join(vecs.select(col("id").as("nid"), col("v").as("nv"),
+        col("n").as("nn")), Seq("nid"))
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
-      .groupBy(col("qid"), col("nid")).agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -352,22 +380,37 @@ object Similarity {
       return embeddings.limit(0).select(col(idCol).as("qid"),
         lit(0L).as("rank"), col(idCol).as("nid"))
     }
+    // (id, vec, norm) materialized ONCE — norms before any join, as
+    // before, but now also shared by both score-attach sides; every
+    // rotation's bucket comes from ONE pass (posexplode — pos IS the
+    // rotation), not a rotations-way union recomputing the scan.
+    // The bucket self-join carries ONLY (rot, bucket, id): vector
+    // payloads attach to the DEDUPED candidate pairs afterwards, so
+    // the collision-prone exchange ships a few bytes per row instead
+    // of the vectors `rotations` times (guide §8). Cross-rotation
+    // duplicate pairs collapse on distinct (qid, nid) — the pair's
+    // cosine is rotation-independent, so distinct-then-score equals
+    // the old score-then-max(cos) row for row.
     val vecs = embeddings
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
-    val bucketed = (0 until rotations).map { r =>
-      vecs.select(col("id"), col("v"), col("n"), lit(r).as("rot"),
-        lshBucket(col("v"), planes, r, dim).as("bucket"))
-    }.reduce(_ unionByName _)
-    val a = bucketed.select(col("rot"), col("bucket"),
-      col("id").as("qid"), col("v").as("qv"), col("n").as("qn"))
-    val b = bucketed.select(col("rot"), col("bucket"),
-      col("id").as("nid"), col("v").as("nv"), col("n").as("nn"))
-    val scored = a.join(b, Seq("rot", "bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = vecs
+      .select(col("id"), posexplode(array((0 until rotations).map(r =>
+        lshBucket(col("v"), planes, r, dim)): _*)).as(Seq("rot", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = bucketed.select(col("rot"), col("bucket"), col("id").as("qid"))
+      .join(bucketed.select(col("rot"), col("bucket"), col("id").as("nid")),
+        Seq("rot", "bucket"))
       .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val scored = cands
+      .join(vecs.select(col("id").as("qid"), col("v").as("qv"),
+        col("n").as("qn")), Seq("qid"))
+      .join(vecs.select(col("id").as("nid"), col("v").as("nv"),
+        col("n").as("nn")), Seq("nid"))
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
-      .groupBy(col("qid"), col("nid")).agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
