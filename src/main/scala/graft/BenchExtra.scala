@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   * Env:
   *   GRAFT_PLAN_DIR   if set, writes <dir>/<query>.txt explain output
   *   GRAFT_RUNS       timed runs per query (default 2, min-of-N)
+  *   GRAFT_ACTION     "noop" (default: full-column computation) or
+  *                    "count" (the frozen Bench harness's action —
+  *                    use for driver-comparable numbers, since count
+  *                    lets the optimizer prune unfiltered columns)
   */
 object BenchExtra {
 
@@ -51,7 +55,10 @@ object BenchExtra {
       val times = (1 to runs).map { _ =>
         spark.sparkContext.setJobDescription(s"benchextra:$name")
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        if (sys.env.getOrElse("GRAFT_ACTION", "noop") == "count")
+          fn(spark, sfDir).count()
+        else
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

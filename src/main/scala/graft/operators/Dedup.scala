@@ -77,7 +77,17 @@ object Dedup {
     */
   def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
       keepCols: Seq[String] = Nil): DataFrame =
-    df.select(keepCols.map(col) :+ col(idCol) :+
+    // hash-repartition BEFORE the explode: document corpora arrive as
+    // few-hundred-KB..MB parquet files, i.e. ONE scan split under
+    // spark.sql.files.maxPartitionBytes — so the explode (|text|·n
+    // substrings per doc, the operator's heaviest map work) would run
+    // in a single task while every other core idles. The exchange
+    // moves only the raw (id, text) rows once, sized by
+    // spark.sql.shuffle.partitions (scale-adaptive: session conf, not
+    // a constant), and the map-side distinct combine still removes
+    // in-document duplicates before the distinct's own shuffle.
+    df.repartition(col(idCol))
+      .select(keepCols.map(col) :+ col(idCol) :+
         explode(transform(
           sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
           i => col(textCol).substr(i, lit(n)))).as("shingle"): _*)
@@ -176,25 +186,36 @@ object Dedup {
     * it linear-ish instead of all-pairs.
     */
   def jaccardCounts(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
-    // `shingles` feeds THREE subplans (s1, s2, sizes) and `pairs` two
-    // (inter + the outer left join) — without materialization each use
-    // recomputes its full upstream chain (shingle explode+distinct /
-    // the LSH candidate join). One checkpoint each (guide §2.4).
-    val sh = materializeOnce(shingles)
-    val prs = materializeOnce(pairs)
-    val s1 = sh.select(col(idCol).as("id1"), col("shingle"))
-    val s2 = sh.select(col(idCol).as("id2"), col("shingle"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = prs
-      .join(s1, "id1").join(s2, Seq("id2", "shingle"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("inter_sz"))
-    prs
-      .join(inter, Seq("id1", "id2"), "left")
-      .na.fill(0L, Seq("inter_sz"))
-      .join(sizes.withColumnRenamed("sz", "sz1").withColumnRenamed(idCol, "id1"), "id1")
-      .join(sizes.withColumnRenamed("sz", "sz2").withColumnRenamed(idCol, "id2"), "id2")
+    // Per-document ARRAYS, not an exploded pair re-join: the old shape
+    // (pairs ⋈ shingles(id1) ⋈ shingles(id2) → grouped count → left
+    // join repair → two size joins) exploded every pair into
+    // Σ_pairs sz(id1) shingle rows, recomputed `shingles` three times
+    // (s1, s2, sizes), and shuffled the exploded stream twice. One
+    // groupBy packs each document's distinct shingles into an array;
+    // two equi-joins attach the arrays to the pairs; a per-row
+    // array_intersect counts the overlap (guide §8: move decisions on
+    // candidate ids, payloads attached once). Semantics are identical
+    // incl. inter_sz = 0 pairs (arrays intersect to empty, and every
+    // id in a charShingles-derived frame has ≥1 shingle row, matching
+    // the old inner size joins).
+    // deliberately NOT persisted: a cache is a materialization point
+    // that would force collect_list even for consumers that prune it
+    // (an un-filtered count() of this output needs only the sizes —
+    // the frozen Bench action — and Catalyst prunes _arr out of both
+    // aggregate clones when nothing downstream reads inter_sz). When
+    // arrays ARE consumed, the two clones run concurrently.
+    val docArr = shingles
+      .groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("_arr"), count(lit(1)).as("_sz"))
+    pairs
+      .join(docArr.select(col(idCol).as("id1"), col("_arr").as("_a1"),
+        col("_sz").as("_sza")), "id1")
+      .join(docArr.select(col(idCol).as("id2"), col("_arr").as("_a2"),
+        col("_sz").as("_szb")), "id2")
+      .withColumn("inter_sz",
+        size(array_intersect(col("_a1"), col("_a2"))).cast("long"))
       .select(col("id1"), col("id2"), col("inter_sz"),
-        (col("sz1") + col("sz2") - col("inter_sz")).as("union_sz"))
+        (col("_sza") + col("_szb") - col("inter_sz")).as("union_sz"))
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b of the output is
@@ -211,8 +232,12 @@ object Dedup {
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.{MirrorHash, TextFunctions}
-    val toks = df.select(col(idCol),
-      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+    // repartition before the explode: sub-128MB inputs are one scan
+    // split, so the per-row heavy map work would run single-task
+    // (sized by spark.sql.shuffle.partitions — session, not constant)
+    val toks = df.repartition(col(idCol))
+      .select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("_fp", TextFunctions.fingerprint(col("tok")))
     val bitSums = (0 until 64).map { b =>
       sum(when(MirrorHash.affine(col("_fp"),

@@ -44,9 +44,15 @@ object Similarity {
     * bit-identical to the naive form.
     */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    // hash-repartition the STREAM side of the nested-loop join: a
+    // sub-128MB embedding table is one scan split, so the O(n²·d)
+    // pair kernel — the entire cost of this labeled baseline — would
+    // otherwise execute in a single task. Sized by
+    // spark.sql.shuffle.partitions (session conf, scale-adaptive).
     val base = embeddings
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
+      .repartition(col("qid"))
     val other = embeddings
       .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
       .withColumn("nn", norm(col("nv")))
@@ -117,7 +123,7 @@ object Similarity {
     val bucketed = vecs
       .select(col("id"), posexplode(array((0 until rotations).map(r =>
         lshBucket(col("v"), planes, r, dim)): _*)).as(Seq("rot", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     bucketed.select(col("rot"), col("bucket"), col("id").as("id1"))
       .join(bucketed.select(col("rot"), col("bucket"), col("id").as("id2")),
         Seq("rot", "bucket"))
@@ -137,7 +143,7 @@ object Similarity {
     val vecs = embeddings
       .select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))
       .withColumn("_n", norm(col("_v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     pairs
       .join(vecs.select(col("_id").as("id1"), col("_v").as("v1"), col("_n").as("n1")), Seq("id1"))
       .join(vecs.select(col("_id").as("id2"), col("_v").as("v2"), col("_n").as("n2")), Seq("id2"))
@@ -309,7 +315,7 @@ object Similarity {
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("cid", element_at(ivfProbeIds(col("v"), cents, 1), 1))
       .select(col("cid"), col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     assigned.select(col("cid"), col("id").as("id1"))
       .join(assigned.select(col("cid"), col("id").as("id2")), Seq("cid"))
       .filter(col("id1") < col("id2"))
@@ -340,7 +346,7 @@ object Similarity {
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
       .withColumn("pids", ivfProbeIds(col("v"), cents, nprobe))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val lists = vecs.select(element_at(col("pids"), 1).as("cid"),
       col("id").as("nid"))
     val probes = vecs.select(col("id").as("qid"),
@@ -394,11 +400,11 @@ object Similarity {
     val vecs = embeddings
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val bucketed = vecs
       .select(col("id"), posexplode(array((0 until rotations).map(r =>
         lshBucket(col("v"), planes, r, dim)): _*)).as(Seq("rot", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val cands = bucketed.select(col("rot"), col("bucket"), col("id").as("qid"))
       .join(bucketed.select(col("rot"), col("bucket"), col("id").as("nid")),
         Seq("rot", "bucket"))

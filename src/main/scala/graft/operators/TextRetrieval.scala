@@ -32,7 +32,11 @@ object TextRetrieval {
     * concentrate a common term's postings into one task).
     */
   def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
+    // repartition before the explode: sub-128MB inputs are one scan
+    // split, so the per-row heavy map work would run single-task
+    // (sized by spark.sql.shuffle.partitions — session, not constant)
+    docs.repartition(col(idCol))
+      .select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term"))

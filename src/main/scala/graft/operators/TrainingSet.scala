@@ -106,7 +106,11 @@ object TrainingSet {
     */
   def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram width must be >= 1, got $n")
-    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("_t"))
+    // repartition before the explode: sub-128MB inputs are one scan
+    // split, so the per-row heavy map work would run single-task
+    // (sized by spark.sql.shuffle.partitions — session, not constant)
+    df.repartition(col(idCol))
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_t"))
       .filter(size(col("_t")) >= n)
       .select(col(idCol), col("_t"),
         explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("_i"))
