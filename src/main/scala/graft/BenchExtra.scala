@@ -65,7 +65,10 @@ object BenchExtra {
         spark.catalog.clearCache()
         t
       }
-      println(f"[benchextra] $name%-32s min=${times.min}%8.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      if (times.nonEmpty)
+        println(f"[benchextra] $name%-32s min=${times.min}%8.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      else
+        println(s"[benchextra] $name plan-only (GRAFT_RUNS=0)")
     }
     spark.stop()
   }

@@ -2136,7 +2136,7 @@ object SparkEntry {
       // SEMANTIC oracle for the prefix-filtering join: DuckDB computes
       // the full all-pairs 5-gram Jaccard with NO prefix logic, so a
       // hash match proves the candidate filter is complete (no pair
-      // with J >= 0.3 escaped the prefix join), not just that the
+      // with J >= 0.25 escaped the prefix join), not just that the
       // verify arithmetic agrees
       "q_setsim_join" ->
         """WITH sh AS (

@@ -30,28 +30,17 @@ import org.apache.spark.sql.functions._
   * Scale design: candidate shuffle ∝ Σ_token df_prefix(token)² over
   * PREFIX occurrences only — the df-ascending order concentrates
   * prefixes on rare tokens, the classic AllPairs bound — never the
-  * all-pairs n². Verification reuses [[Dedup.jaccardCounts]] (shingle
-  * equi-joins keyed on the candidate ids). The threshold is the exact
-  * rational tNum/tDen; the final filter is the integer cross-multiply
-  * `inter·tDen ≥ tNum·union`, so engine and oracle agree bit-for-bit.
+  * all-pairs n². Shingles are dictionary-encoded to dense ints in the
+  * global prefix order (every downstream join/sort/intersect runs on
+  * ints); candidates additionally pass the PPJoin length and
+  * positional filters (exact), and verification intersects
+  * per-document id arrays keyed on the candidate ids — no exploded
+  * re-join. The threshold is the exact rational tNum/tDen; the final
+  * filter is the integer cross-multiply `inter·tDen ≥ tNum·union`, so
+  * engine and oracle agree bit-for-bit.
   */
 object SetSim {
 
-  /** Candidate pairs complete for Jaccard ≥ tNum/tDen: ids sharing a
-    * shingle within both prefixes. `shingles` must be DISTINCT
-    * (id, shingle) rows — [[Dedup.charShingles]] output shape —
-    * carrying `groupCols` (constant per id) when the join is scoped.
-    *
-    * `groupCols` scopes the join WITHIN strata (e.g. (lang, source)):
-    * candidates never cross a group boundary, and document frequency
-    * is computed per group (the lemma's global order holds per group,
-    * and within-group df is what makes a token "rare" there). Scoping
-    * is also the DENSITY rail: prefix filtering prunes in proportion
-    * to df skew, so a corpus with an adversarially uniform, tiny
-    * shingle vocabulary (every token df ≈ n/vocab) leaves ANY exact
-    * algorithm near-quadratic — real dedup pipelines scope by
-    * language/source/domain for exactly this reason.
-    */
   /** Dictionary-encode distinct (groupCols, id, shingle) rows to
     * (id, _sid): `_sid` is the dense rank of (stratum, shingle) in
     * the (groupCols, df asc, shingle asc) order — i.e. the prefix
@@ -128,6 +117,21 @@ object SetSim {
       .select("id1", "id2")
   }
 
+  /** Candidate pairs complete for Jaccard ≥ tNum/tDen: ids sharing a
+    * shingle within both prefixes. `shingles` must be DISTINCT
+    * (id, shingle) rows — [[Dedup.charShingles]] output shape —
+    * carrying `groupCols` (constant per id) when the join is scoped.
+    *
+    * `groupCols` scopes the join WITHIN strata (e.g. (lang, source)):
+    * candidates never cross a group boundary, and document frequency
+    * is computed per group (the lemma's global order holds per group,
+    * and within-group df is what makes a token "rare" there). Scoping
+    * is also the DENSITY rail: prefix filtering prunes in proportion
+    * to df skew, so a corpus with an adversarially uniform, tiny
+    * shingle vocabulary (every token df ≈ n/vocab) leaves ANY exact
+    * algorithm near-quadratic — real dedup pipelines scope by
+    * language/source/domain for exactly this reason.
+    */
   def prefixCandidates(shingles: DataFrame, idCol: String,
       tNum: Int, tDen: Int, groupCols: Seq[String] = Nil): DataFrame = {
     require(tNum >= 1 && tNum <= tDen, s"threshold must be in (0, 1]: $tNum/$tDen")
