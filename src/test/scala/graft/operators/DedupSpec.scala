@@ -124,4 +124,36 @@ class DedupSpec extends SparkSuite {
       s"no separation: near-dup max ${dists.max} vs unrelated median $medianUnrelated")
     assert(dists.sum.toDouble / dists.size < unrelated.sum.toDouble / unrelated.size)
   }
+
+  test("lshBands explode form equals the per-band definition row for row") {
+    // the one-pass posexplode refactor must emit exactly the rows the
+    // band definition describes: for each id and band b, band_hash =
+    // bandCombine(mh_{b*rows} .. mh_{(b+1)*rows-1})
+    import graft.functions.MirrorHash
+    val shingles = Dedup.charShingles(docs.limit(50), "doc_id", "text", 5)
+    val sigs = Dedup.minHashSignatures(shingles, "doc_id", k = 16).cache()
+    val got = Dedup.lshBands(sigs, "doc_id", k = 16, bands = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    val expected = (0 until 4).flatMap { b =>
+      val cols = (b * 4 until (b + 1) * 4).map(i => col(s"mh_$i"))
+      sigs.select(col("doc_id"), lit(b).as("band_idx"),
+          MirrorHash.bandCombine(cols).as("band_hash"))
+        .as[(Long, Int, Long)].collect()
+    }.toSet
+    assert(got == expected)
+    sigs.unpersist()
+  }
+
+  test("jaccardCounts keeps zero-intersection pairs with inter_sz = 0") {
+    // the array-intersection rewrite must preserve the old left-join
+    // repair semantics: a candidate pair sharing NO shingle still
+    // appears, with inter_sz 0 and union_sz = sz1 + sz2
+    val df = Seq((1L, "aaaaaa"), (2L, "bbbbbb")).toDF("doc_id", "text")
+    val shingles = Dedup.charShingles(df, "doc_id", "text", 5)
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val got = Dedup.jaccardCounts(pairs, shingles, "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // "aaaaaa" -> {"aaaaa"} (2 positions, 1 distinct); same for b
+    assert(got == Set((1L, 2L, 0L, 2L)))
+  }
 }
