@@ -467,7 +467,9 @@ object SparkEntry {
     // AND counts) is hash-checked against the DuckDB oracle ---
     "q_ngram_jaccard_lsh" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val shingles5 = Dedup.charShingles(docs, "doc_id", "text", 5)
+      // raw (non-distinct) shingles: the minhash minima are duplicate-
+      // insensitive, so the distinct's exchange would be pure cost
+      val shingles5 = Dedup.charShinglesRaw(docs, "doc_id", "text", 5)
       val pairs = Dedup.lshCandidates(
         Dedup.lshBands(
           Dedup.minHashSignatures(shingles5, "doc_id", k = 16),
@@ -480,7 +482,8 @@ object SparkEntry {
     // hash-checked against the DuckDB band-join mirror) ---
     "q_minhash_lsh" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val shingles = Dedup.charShingles(docs, "doc_id", "text", 5)
+      // raw shingles: min aggregates are duplicate-insensitive
+      val shingles = Dedup.charShinglesRaw(docs, "doc_id", "text", 5)
       val sigs = Dedup.minHashSignatures(shingles, "doc_id", k = 16)
       Dedup.lshCandidates(Dedup.lshBands(sigs, "doc_id", k = 16, bands = 4), "doc_id")
     }),
@@ -613,7 +616,8 @@ object SparkEntry {
     // with cluster size + canonical survivor per component ---
     "q_neardup_components" -> ((s, dir) => {
       val docs = dupedDocs(s, dir)
-      val shingles = Dedup.charShingles(docs, "doc_id", "text", 5)
+      // raw shingles: min aggregates are duplicate-insensitive
+      val shingles = Dedup.charShinglesRaw(docs, "doc_id", "text", 5)
       val pairs = Dedup.lshCandidates(
         Dedup.lshBands(Dedup.minHashSignatures(shingles, "doc_id", k = 16),
           "doc_id", k = 16, bands = 4), "doc_id")
@@ -930,7 +934,8 @@ object SparkEntry {
     // square of the corpus (measured 65x pair volume at a 10x corpus) ---
     "q_editdist_neardup" -> ((s, dir) => {
       val docs = editedDocs(s, dir)
-      val shingles = Dedup.charShingles(docs, "doc_id", "text", 5)
+      // raw shingles: min aggregates are duplicate-insensitive
+      val shingles = Dedup.charShinglesRaw(docs, "doc_id", "text", 5)
       val cands = Dedup.lshCandidatesGrouped(
         Dedup.lshBands(
           Dedup.minHashSignatures(shingles, "doc_id", k = 16),

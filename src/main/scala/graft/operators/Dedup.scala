@@ -77,6 +77,17 @@ object Dedup {
     */
   def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
       keepCols: Seq[String] = Nil): DataFrame =
+    charShinglesRaw(df, idCol, textCol, n, keepCols).distinct()
+
+  /** [[charShingles]] WITHOUT the distinct — for duplicate-insensitive
+    * consumers only (the min aggregates of [[minHashSignatures]]:
+    * min over the multiset equals min over the set). Skipping the
+    * distinct removes a full exchange of the exploded shingle stream
+    * (guide §2.4) — the map-side partial min-agg reduces the
+    * duplicated rows to (id × k) minima before anything shuffles.
+    */
+  def charShinglesRaw(df: DataFrame, idCol: String, textCol: String, n: Int,
+      keepCols: Seq[String] = Nil): DataFrame =
     // hash-repartition BEFORE the explode: document corpora arrive as
     // few-hundred-KB..MB parquet files, i.e. ONE scan split under
     // spark.sql.files.maxPartitionBytes — so the explode (|text|·n
@@ -84,14 +95,12 @@ object Dedup {
     // in a single task while every other core idles. The exchange
     // moves only the raw (id, text) rows once, sized by
     // spark.sql.shuffle.partitions (scale-adaptive: session conf, not
-    // a constant), and the map-side distinct combine still removes
-    // in-document duplicates before the distinct's own shuffle.
+    // a constant).
     df.repartition(col(idCol))
       .select(keepCols.map(col) :+ col(idCol) :+
         explode(transform(
           sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
           i => col(textCol).substr(i, lit(n)))).as("shingle"): _*)
-      .distinct()
 
   /** MinHash signature: for each id, k minima of a universal affine
     * family over the shingle's [[graft.functions.TextFunctions]]
