@@ -35,6 +35,24 @@ object BenchExtra {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_STAGES=1: per-stage wall/CPU dump (guide §1.3 — find the
+    // straggler stage, not just the slow query)
+    if (sys.env.contains("GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = for {
+              s <- si.submissionTime; c <- si.completionTime
+            } yield (c - s) / 1e3
+            Console.err.println(
+              f"[graft-stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d " +
+              f"wall=${wall.getOrElse(-1.0)}%7.3f " +
+              f"cpu=${si.taskMetrics.executorCpuTime / 1e9}%8.3f " +
+              f"run=${si.taskMetrics.executorRunTime / 1e3}%8.3f  ${si.name.take(90)}")
+          }
+        })
 
     val names =
       if (args.nonEmpty) args.toSeq

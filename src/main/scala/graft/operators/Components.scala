@@ -203,10 +203,15 @@ object Components {
     * SQL oracle.
     */
   def withClusterStats(components: DataFrame, idCol: String): DataFrame = {
-    val sizes = components.groupBy(col("component"))
-      .agg(count(lit(1)).as("cluster_sz"))
-    components.join(sizes, Seq("component"))
-      .select(col(idCol), col("component"), col("cluster_sz"),
+    // ONE component-keyed window pass, not groupBy + join-back: the
+    // join formulation scans the labels twice and pays two exchanges
+    // + a join; the unbounded window computes the same row-preserving
+    // per-component count with a single exchange (guide §2.1). Output
+    // identical: whole-partition window count ≡ joined group count.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    components
+      .select(col(idCol), col("component"),
+        count(lit(1)).over(w).as("cluster_sz"),
         when(col(idCol) === col("component"), 1).otherwise(0).as("is_canonical"))
   }
 }

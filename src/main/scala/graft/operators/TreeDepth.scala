@@ -40,6 +40,7 @@ object TreeDepth {
     */
   def depths(edges: DataFrame, treeCol: String, nodeCol: String,
       parentCol: String, maxIter: Int = 64): DataFrame = {
+    val tSetup = System.nanoTime()
     val e = edges
       .select(col(treeCol).as("_tree"), col(nodeCol).as("_node"),
         col(parentCol).as("_parent"))
@@ -53,8 +54,11 @@ object TreeDepth {
       // not two isEmpty probes — at height-many rounds the per-round
       // job count is the fixed cost that dominates shallow forests
       var n = frontier.count()
+      if (IterDebug.on) IterDebug.log(
+        s"bfs setup n=$n secs=${(System.nanoTime() - tSetup) / 1e9}")
       var i = 0
       while (i < maxIter && n > 0) {
+        val t0 = System.nanoTime()
         frontier = e
           .join(frontier.select(col("_tree"), col("_node").as("_p"), col("depth")),
             Seq("_tree"))
@@ -63,6 +67,8 @@ object TreeDepth {
           .localCheckpoint()
         n = frontier.count()
         if (n > 0) acc += frontier
+        if (IterDebug.on) IterDebug.log(
+          s"bfs round=$i n=$n secs=${(System.nanoTime() - t0) / 1e9}")
         i += 1
       }
       acc.reduce(_ unionByName _)
@@ -152,12 +158,20 @@ object TreeDepth {
     * TreeBuilder.py:58-64 / contest_tree get_depth_stat_of_node):
     * depth_max, depth_sum, node_cnt per tree — integral, mean is
     * derived as depth_sum / node_cnt downstream.
+    *
+    * ONE tree-keyed window pass, not groupBy + join-back: the join
+    * formulation scans the (BFS: union-of-frontiers) input twice and
+    * pays two exchanges + an SMJ; the unbounded window computes the
+    * same row-preserving (max, sum, count) per tree with a single
+    * exchange on the tree key (guide §2.1 — remove shuffles outright).
+    * Identical output: window agg over the whole partition ≡ joined
+    * group agg, and appended column order matches the old join's.
     */
   def withDepthStats(depths: DataFrame, treeCol: String): DataFrame = {
-    val stats = depths.groupBy(col(treeCol)).agg(
-      max(col("depth")).as("depth_max"),
-      sum(col("depth")).as("depth_sum"),
-      count(lit(1)).as("node_cnt"))
-    depths.join(stats, Seq(treeCol))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(treeCol))
+    depths
+      .withColumn("depth_max", max(col("depth")).over(w))
+      .withColumn("depth_sum", sum(col("depth")).over(w))
+      .withColumn("node_cnt", count(lit(1)).over(w))
   }
 }
