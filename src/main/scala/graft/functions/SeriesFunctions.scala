@@ -81,7 +81,11 @@ object SeriesFunctions {
       sum(col("v_milli")).over(wAgg))
     val wPick = Window.partitionBy(part: _*)
       .orderBy(dev.desc +: col(tsCol).asc +: orderCols.map(col(_).asc): _*)
+    // EXPLICIT session-width repartition (see Dedup.shuffleWidth):
+    // the windows' own exchange is byte-coalesced by AQE, serializing
+    // both per-(key, bucket) window passes.
     withB
+      .repartition(graft.operators.Dedup.shuffleWidth(df), part: _*)
       .withColumn("_rn", row_number().over(wPick))
       .filter(col("_rn") === 1)
       .drop("_rn")
@@ -258,7 +262,13 @@ object SeriesFunctions {
           (lit(aNum.toLong) * x.getField("v_milli") +
             lit((aDen - aNum).toLong) * element_at(acc, -1)).cast("double") /
             lit(aDen.toDouble)))))
+    // EXPLICIT session-width repartition on the series key (see
+    // [[graft.operators.Dedup.shuffleWidth]]): collect_list has no
+    // map-side reduction, and the agg's own exchange is byte-coalesced
+    // by AQE — which serializes the per-series sort_array + fold +
+    // explode (the operator's entire cost) onto 1-2 tasks.
     df.select(keyCols.map(col) :+ pt.as("_pt"): _*)
+      .repartition(graft.operators.Dedup.shuffleWidth(df), keyCols.map(col): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col("_pt"))).as("_pts"))
       .withColumn("_ew", aggregate(col("_pts"), typedlit(Seq.empty[Long]), step))
@@ -316,7 +326,13 @@ object SeriesFunctions {
             lit((bDen - bNum).toLong) * element_at(acc, -1)).cast("double") /
             lit(bDen.toDouble)).cast("long"))))
     val idx = sequence(lit(1), size(col("_pts")))
+    // EXPLICIT session-width repartition on the series key (see
+    // [[graft.operators.Dedup.shuffleWidth]]): collect_list has no
+    // map-side reduction, and the agg's own exchange is byte-coalesced
+    // by AQE — which serializes the per-series sort_array + fold +
+    // explode (the operator's entire cost) onto 1-2 tasks.
     df.select(keyCols.map(col) :+ pt.as("_pt"): _*)
+      .repartition(graft.operators.Dedup.shuffleWidth(df), keyCols.map(col): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col("_pt"))).as("_pts"))
       .withColumn("_lb", aggregate(col("_pts"), typedlit(Seq.empty[Long]), step))
@@ -394,7 +410,13 @@ object SeriesFunctions {
             lit((gDen - gNum).toLong) * sPrev(acc)).cast("double") /
             lit(gDen.toDouble)).cast("long"))))
     val idx = sequence(lit(1), size(col("_pts")))
+    // EXPLICIT session-width repartition on the series key (see
+    // [[graft.operators.Dedup.shuffleWidth]]): collect_list has no
+    // map-side reduction, and the agg's own exchange is byte-coalesced
+    // by AQE — which serializes the per-series sort_array + fold +
+    // explode (the operator's entire cost) onto 1-2 tasks.
     df.select(keyCols.map(col) :+ pt.as("_pt"): _*)
+      .repartition(graft.operators.Dedup.shuffleWidth(df), keyCols.map(col): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col("_pt"))).as("_pts"))
       .withColumn("_lbs", aggregate(col("_pts"), typedlit(Seq.empty[Long]), step))
@@ -447,11 +469,24 @@ object SeriesFunctions {
     def bdiv(c: Column): Column = floor(c / lit(wUs.toDouble)).cast("long")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((col("_s") +: orderCols.map(col)).map(_.asc): _*)
+    // EXPLICIT-width repartition on the series key, NOT the window's
+    // own ENSURE_REQUIREMENTS exchange: AQE coalesces exchanges by
+    // COMPRESSED SHUFFLE BYTES (measured: 2 post-shuffle tasks at
+    // sf0.1 — and a column-only repartition() is coalesced the same
+    // way), blind to the up-to-maxGapBuckets× bucket explode +
+    // partial agg that run on those same tasks downstream (guide
+    // §2.5 — amplified work must not inherit a byte-sized partition
+    // count). The window reuses this partitioning, so the exchange
+    // count is unchanged; width = spark.sql.shuffle.partitions read
+    // from the SESSION (the cluster's tuned value in production, no
+    // local constant).
+    val nShuffle = graft.operators.Dedup.shuffleWidth(df)
     val base = df
       .filter(col(tsCol).isNotNull && col(valCol).isNotNull)
       .select(keyCols.map(col) ++ orderCols.map(col) :+
         unix_micros(col(tsCol).cast("timestamp")).as("_s") :+
         floor(col(valCol) * lit(1000.0)).cast("long").as("v_milli"): _*)
+      .repartition(nShuffle, keyCols.map(col): _*)
       .withColumn("_next", lead(col("_s"), 1).over(w))
     val clipped = base
       .filter(col("_next").isNotNull && col("_next") > col("_s"))
@@ -539,7 +574,13 @@ object SeriesFunctions {
         x: org.apache.spark.sql.Column) => concat(acc, array(
       when(size(acc) === 0, greatest(lit(0L), dev(x)))
         .otherwise(greatest(lit(0L), element_at(acc, -1) + dev(x)))))
+    // EXPLICIT session-width repartition on the series key (see
+    // [[graft.operators.Dedup.shuffleWidth]]): collect_list has no
+    // map-side reduction, and the agg's own exchange is byte-coalesced
+    // by AQE — which serializes the per-series sort_array + fold +
+    // explode (the operator's entire cost) onto 1-2 tasks.
     df.select(keyCols.map(col) :+ pt.as("_pt"): _*)
+      .repartition(graft.operators.Dedup.shuffleWidth(df), keyCols.map(col): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col("_pt"))).as("_pts"))
       .withColumn("_cs", aggregate(col("_pts"), typedlit(Seq.empty[Long]), step))
@@ -690,7 +731,13 @@ object SeriesFunctions {
       .rowsBetween(-lookback, -1)
     val dev = col("_n") * col("v_milli") - col("_s1")
     val varTerm = col("_n") * col("_s2") - col("_s1") * col("_s1")
-    df.withColumn("v_milli", floor(col(valCol) * lit(1000.0)).cast("long"))
+    // EXPLICIT session-width repartition (see Dedup.shuffleWidth):
+    // the window's own exchange is byte-coalesced by AQE, serializing
+    // the three rolling-sum passes. Parallelism is bounded by the key
+    // cardinality either way (hash on keyCol) — still strictly better
+    // than the measured single task.
+    df.repartition(graft.operators.Dedup.shuffleWidth(df), col(keyCol))
+      .withColumn("v_milli", floor(col(valCol) * lit(1000.0)).cast("long"))
       .withColumn("_n", count(col("v_milli")).over(w))
       .withColumn("_s1", sum(col("v_milli")).over(w))
       .withColumn("_s2", sum(col("v_milli") * col("v_milli")).over(w))

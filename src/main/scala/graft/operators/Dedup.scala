@@ -39,6 +39,20 @@ object Dedup {
         org.apache.spark.sql.GraftShims.checkpointedRdd(df).isDefined) df
     else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** The session's configured shuffle width — the EXPLICIT partition
+    * count for repartitions that feed AMPLIFIED per-row work (shingle
+    * explodes, O(n²·d) pair kernels, bucket fan-outs). A column-only
+    * `repartition(col)` is still coalesced by AQE on COMPRESSED
+    * SHUFFLE BYTES (measured: a 2 MB shuffle ran its downstream
+    * explode+agg in 2 tasks on a 32-core box), which is blind to the
+    * downstream amplification; an explicit count is respected
+    * (REPARTITION_BY_NUM). Reads `spark.sql.shuffle.partitions` from
+    * the live session — the cluster's tuned value in production, no
+    * local constant (guide §2.5).
+    */
+  private[graft] def shuffleWidth(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
   /** Exact dedup, keep-first pinned by an explicit order column —
     * never an unpinned dropDuplicates (SURVEY.md §7 hard parts:
     * nondeterministic keep-first is a bug, not a semantics).
@@ -95,8 +109,8 @@ object Dedup {
     // in a single task while every other core idles. The exchange
     // moves only the raw (id, text) rows once, sized by
     // spark.sql.shuffle.partitions (scale-adaptive: session conf, not
-    // a constant).
-    df.repartition(col(idCol))
+    // a constant; EXPLICIT width — see [[shuffleWidth]]).
+    df.repartition(shuffleWidth(df), col(idCol))
       .select(keepCols.map(col) :+ col(idCol) :+
         explode(transform(
           sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
@@ -243,8 +257,8 @@ object Dedup {
     import graft.functions.{MirrorHash, TextFunctions}
     // repartition before the explode: sub-128MB inputs are one scan
     // split, so the per-row heavy map work would run single-task
-    // (sized by spark.sql.shuffle.partitions — session, not constant)
-    val toks = df.repartition(col(idCol))
+    // (EXPLICIT session-conf width — see [[shuffleWidth]])
+    val toks = df.repartition(shuffleWidth(df), col(idCol))
       .select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("_fp", TextFunctions.fingerprint(col("tok")))

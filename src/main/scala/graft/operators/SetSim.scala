@@ -52,11 +52,20 @@ object SetSim {
     * document (all of whose rows share one stratum) reproduces the
     * per-stratum (df, shingle) order exactly.
     *
-    * The rank window is a single-partition sort of the VOCABULARY
-    * (bounded: distinct (stratum, shingle) values, not corpus rows) —
-    * the AllPairs df-ordering preprocessing step. Rail: vocabularies
-    * past ~10⁸ entries should swap in a range-bucketed two-level rank
-    * (the [[TrainingSet.packByTokenBudget]] prefix-sum shape).
+    * The rank is computed as a range-bucketed TWO-LEVEL rank (the
+    * [[TrainingSet.packByTokenBudget]] prefix-sum shape), not one
+    * single-partition window sort of the vocabulary: the flat window
+    * sorted ~1M (stratum, shingle, df) rows in ONE task (measured
+    * 4.7 s — the largest single-task stage in the whole bench).
+    * Buckets are (stratum, _df, first-2-chars-of-shingle) — a PREFIX
+    * of the global sort key, so bucket-major order + within-bucket
+    * shingle order IS the global (stratum, df asc, shingle asc)
+    * order and the two-level rank reproduces the flat rank exactly.
+    * Level 1 ranks within buckets (distributed, explicit session
+    * width); level 2 accumulates bucket COUNTS in bucket order — a
+    * single-partition window over bucket summaries only (bounded:
+    * strata × df-values × 2-char prefixes, orders of magnitude below
+    * the vocabulary).
     */
   private def encode(sh: DataFrame, idCol: String,
       groupCols: Seq[String]): DataFrame = {
@@ -83,8 +92,13 @@ object SetSim {
       .cast("double") / lit(tDen.toDouble)).cast("long")
     // _sz and _rk ride along for the PPJoin length + positional
     // filters below; the prefix table is persisted so the self-join's
-    // two sides share one computation of the window chain
+    // two sides share one computation of the window chain. EXPLICIT
+    // session-width repartition on the document id: the windows' own
+    // ENSURE_REQUIREMENTS exchange is byte-coalesced by AQE (the
+    // skinny (id, _sid) int rows compress to ~1 task's worth), which
+    // serialized both window sorts (see [[Dedup.shuffleWidth]]).
     val prefix = enc
+      .repartition(Dedup.shuffleWidth(enc), col(idCol))
       .withColumn("_sz", count(lit(1)).over(wSz))
       .withColumn("_rk", row_number().over(wRk))
       .filter(col("_rk") <= col("_sz") - ceilT + 1)

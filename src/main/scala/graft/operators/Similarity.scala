@@ -47,12 +47,14 @@ object Similarity {
     // hash-repartition the STREAM side of the nested-loop join: a
     // sub-128MB embedding table is one scan split, so the O(n²·d)
     // pair kernel — the entire cost of this labeled baseline — would
-    // otherwise execute in a single task. Sized by
-    // spark.sql.shuffle.partitions (session conf, scale-adaptive).
+    // otherwise execute in a single task. EXPLICIT session-conf
+    // width (see [[Dedup.shuffleWidth]]): a column-only repartition
+    // is byte-coalesced by AQE (measured: the whole kernel ran as ONE
+    // 2.5 s task), blind to the O(n²·d) work downstream.
     val base = embeddings
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .repartition(col("qid"))
+      .repartition(Dedup.shuffleWidth(embeddings), col("qid"))
     val other = embeddings
       .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
       .withColumn("nn", norm(col("nv")))

@@ -34,8 +34,8 @@ object TextRetrieval {
   def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // repartition before the explode: sub-128MB inputs are one scan
     // split, so the per-row heavy map work would run single-task
-    // (sized by spark.sql.shuffle.partitions — session, not constant)
-    docs.repartition(col(idCol))
+    // (EXPLICIT session-conf width — see [[Dedup.shuffleWidth]])
+    docs.repartition(Dedup.shuffleWidth(docs), col(idCol))
       .select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("term"))
       .filter(col("term") =!= "")

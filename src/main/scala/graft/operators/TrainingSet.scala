@@ -108,8 +108,8 @@ object TrainingSet {
     require(n >= 1, s"n-gram width must be >= 1, got $n")
     // repartition before the explode: sub-128MB inputs are one scan
     // split, so the per-row heavy map work would run single-task
-    // (sized by spark.sql.shuffle.partitions — session, not constant)
-    df.repartition(col(idCol))
+    // (EXPLICIT session-conf width — see [[Dedup.shuffleWidth]])
+    df.repartition(Dedup.shuffleWidth(df), col(idCol))
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_t"))
       .filter(size(col("_t")) >= n)
       .select(col(idCol), col("_t"),
