@@ -346,6 +346,9 @@ object Similarity {
     // (guide §8: move decisions on small rows, heavy bytes once).
     val vecs = embeddings
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      // EXPLICIT session-width repartition: the O(nlist·dim) probe
+      // expression ran on the single scan split (Dedup.shuffleWidth)
+      .repartition(graft.operators.Dedup.shuffleWidth(embeddings), col("id"))
       .withColumn("n", norm(col("v")))
       .withColumn("pids", ivfProbeIds(col("v"), cents, nprobe))
       .localCheckpoint(eager = false)
