@@ -613,6 +613,15 @@ object SeriesFunctions {
     * observed); keys need `minPairs` aligned pairs and nonzero
     * variance on both sides or they are dropped (correlation of a
     * constant is undefined, not zero).
+    *
+    * MAGNITUDE RAIL (documented contract, mirroring the 2⁵² rails of
+    * the smoother family): the sufficient statistics are Spark LONGs,
+    * so `n·Σx²` must stay below 2⁶³ — with n_pairs ≤ 10⁶ aligned
+    * buckets per key that bounds |x|,|y| at ~3·10⁶ (counts /
+    * fixed-point millis of metric-sized values, which is what the
+    * bucketed-series contract feeds). Larger magnitudes silently wrap
+    * in the engine while a DuckDB oracle promotes to HUGEINT —
+    * pre-scale the inputs rather than widening the rail.
     */
   def laggedCorrelation(series: DataFrame, keyCols: Seq[String],
       bucketCol: String, xCol: String, yCol: String, lagBuckets: Int,

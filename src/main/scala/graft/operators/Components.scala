@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   *    not O(diameter): a 64-link duplicate chain resolves in ~6
   *    rounds (spec-pinned);
   *  - every round is `localCheckpoint`ed: lineage and codegen stay
-  *    O(1) per round (swap in `checkpoint()` against a reliable store
-  *    on a real cluster);
+  *    O(1) per round. TRADE-OFF: checkpoint blocks are unreplicated
+  *    and lineage is discarded, so on a real cluster an executor loss
+  *    mid-iteration fails the job instead of recomputing — swap in
+  *    reliable `checkpoint(dir)` for deployments with dynamic
+  *    allocation / preemptible executors;
   *  - labels only decrease and are bounded below by the component
   *    min, so the changed-row count reaching 0 IS convergence — the
   *    loop needs no structural cycle handling (cycles are fine:

@@ -30,6 +30,12 @@ object TextRetrieval {
   /** (doc, term, tf) counts over whitespace tokens — the relational
     * inverted index (postings stay rows; a per-term array would
     * concentrate a common term's postings into one task).
+    *
+    * Tokenization contract: Java-regex `\s+`, which differs from
+    * RE2/DuckDB `\s+` on vertical tab and some Unicode whitespace —
+    * oracle hash-equality is guaranteed for ASCII-space/tab/newline
+    * corpora only (same documented assumption as
+    * [[SetSim.editDistanceNearDup]]'s char counts).
     */
   def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // repartition before the explode: sub-128MB inputs are one scan
@@ -65,11 +71,13 @@ object TextRetrieval {
   }
 
   /** Conjunctive search: documents containing EVERY query term, with
-    * an integral relevance score (Σ tf over the query terms), ranked
-    * descending (ties pin on the id). The term filter is a broadcast-
-    * size IN-list pushed into the scan of the (doc, term) counts; the
-    * AND semantics is `count(distinct matched term) = |terms|` — one
-    * grouped pass, never a per-term self-join chain.
+    * an integral relevance score (Σ tf over the query terms). The
+    * result is an UNORDERED (id, score) frame — callers sort (the
+    * declared query's oracle compares order-insensitively). The term
+    * filter is a broadcast-size IN-list pushed into the scan of the
+    * (doc, term) counts; the AND semantics is
+    * `count(distinct matched term) = |terms|` — one grouped pass,
+    * never a per-term self-join chain.
     */
   def conjunctiveSearch(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
