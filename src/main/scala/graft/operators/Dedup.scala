@@ -88,10 +88,21 @@ object Dedup {
     * no UDF. `keepCols` carries per-document attributes (e.g. the
     * stratum keys a grouped similarity join scopes by) through the
     * explode; they must be constant per id.
+    *
+    * The dedup key includes the id, so "distinct" is purely
+    * WITHIN-document — done by `array_distinct` on the substring
+    * array BEFORE the explode (same row set), not a `.distinct()`
+    * after it: the post-explode distinct hash-exchanged the entire
+    * |text|·n exploded stream (the widest intermediate of the whole
+    * dedup family) just to drop in-row duplicates (guide §2.1).
     */
   def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
       keepCols: Seq[String] = Nil): DataFrame =
-    charShinglesRaw(df, idCol, textCol, n, keepCols).distinct()
+    df.repartition(shuffleWidth(df), col(idCol))
+      .select(keepCols.map(col) :+ col(idCol) :+
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+          i => col(textCol).substr(i, lit(n))))).as("shingle"): _*)
 
   /** [[charShingles]] WITHOUT the distinct — for duplicate-insensitive
     * consumers only (the min aggregates of [[minHashSignatures]]:
