@@ -109,13 +109,16 @@ object TrainingSet {
     // repartition before the explode: sub-128MB inputs are one scan
     // split, so the per-row heavy map work would run single-task
     // (EXPLICIT session-conf width — see [[Dedup.shuffleWidth]])
+    // per-document distinct via array_distinct BEFORE the explode
+    // (the dedup key includes the id, so no cross-row work exists) —
+    // identical row set, one full exchange of the exploded n-gram
+    // stream removed (same rewrite as [[Dedup.charShingles]])
     df.repartition(Dedup.shuffleWidth(df), col(idCol))
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_t"))
       .filter(size(col("_t")) >= n)
-      .select(col(idCol), col("_t"),
-        explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("_i"))
-      .select(col(idCol), array_join(slice(col("_t"), col("_i"), lit(n)), " ").as("ngram"))
-      .distinct()
+      .select(col(idCol), explode(array_distinct(transform(
+        sequence(lit(1), size(col("_t")) - (n - 1)),
+        i => array_join(slice(col("_t"), i, lit(n)), " ")))).as("ngram"))
   }
 
   /** Benchmark decontamination: for each corpus row, the number of
