@@ -52,20 +52,17 @@ object SetSim {
     * document (all of whose rows share one stratum) reproduces the
     * per-stratum (df, shingle) order exactly.
     *
-    * The rank is computed as a range-bucketed TWO-LEVEL rank (the
-    * [[TrainingSet.packByTokenBudget]] prefix-sum shape), not one
-    * single-partition window sort of the vocabulary: the flat window
-    * sorted ~1M (stratum, shingle, df) rows in ONE task (measured
-    * 4.7 s — the largest single-task stage in the whole bench).
-    * Buckets are (stratum, _df, first-2-chars-of-shingle) — a PREFIX
-    * of the global sort key, so bucket-major order + within-bucket
-    * shingle order IS the global (stratum, df asc, shingle asc)
-    * order and the two-level rank reproduces the flat rank exactly.
-    * Level 1 ranks within buckets (distributed, explicit session
-    * width); level 2 accumulates bucket COUNTS in bucket order — a
-    * single-partition window over bucket summaries only (bounded:
-    * strata × df-values × 2-char prefixes, orders of magnitude below
-    * the vocabulary).
+    * The rank is one window sort of the VOCABULARY (distinct
+    * (stratum, shingle) rows — orders of magnitude below the exploded
+    * shingle stream), single-partition by design. The rail for ~10⁸+
+    * vocabularies is a range-bucketed two-level rank (bucket =
+    * (stratum, _df, 2-char shingle prefix) — a prefix of the global
+    * sort key — rank within buckets + cumulative bucket-count
+    * offsets, the [[TrainingSet.packByTokenBudget]] prefix-sum
+    * shape), which reproduces this rank exactly; it was implemented
+    * and A/B'd at sf0.1 and REVERTED — the extra persist + bucket
+    * aggregate + offsets join cost ~2× more than the flat vocabulary
+    * sort saves at this scale (min-of-7: 4.91 s vs 2.66 s).
     */
   private def encode(sh: DataFrame, idCol: String,
       groupCols: Seq[String]): DataFrame = {
@@ -108,27 +105,35 @@ object SetSim {
     val right = prefix.select(col("_sid"), col(idCol).as("id2"),
       col("_sz").as("_sz2"), col("_rk").as("_rk2"))
     // PPJoin filters — both EXACT (completeness preserved), both pure
-    // expressions; they only drop candidates the Jaccard verify would
-    // reject anyway (guide §3.2: shrink the join's big side early):
-    //  - length filter: J ≥ t ⇒ t·max(sz1,sz2) ≤ |x∩y| ≤ min(sz1,sz2),
-    //    applied per collision row BEFORE the pair aggregation;
+    // PER-ROW expressions applied before the pair dedup; they only
+    // drop candidates the Jaccard verify would reject anyway (guide
+    // §3.2: shrink the join's big side early):
+    //  - length filter: J ≥ t ⇒ t·max(sz1,sz2) ≤ |x∩y| ≤ min(sz1,sz2);
     //  - positional filter: both sides order shingles by the ONE
-    //    global _sid order, so the EARLIEST collision (max of sz−rk
-    //    over collisions — earlier rank ⇔ larger remainder) bounds
-    //    the overlap: |x∩y| ≤ min(sz1−rk1, sz2−rk2) + 1.
-    //    J ≥ t ⇔ inter·(tDen+tNum) ≥ tNum·(sz1+sz2), so pairs whose
-    //    bound cannot reach that are dropped before verification.
+    //    global _sid order, so a collision at (rk1, rk2) bounds the
+    //    overlap: |x∩y| ≤ min(sz1−rk1, sz2−rk2) + 1; rows whose bound
+    //    cannot reach J ≥ t ⇔ inter·(tDen+tNum) ≥ tNum·(sz1+sz2) die
+    //    BEFORE the dedup exchange. Per-row is exact: a pair survives
+    //    iff its best (earliest-rank) collision row survives — the
+    //    per-pair max-aggregate formulation keeps exactly the same
+    //    pair set while hashing every dropped row through the
+    //    aggregate first (replacing it was measured ~15% faster, and
+    //    the dedup shrinks to a plain distinct on the id pair).
+    // A shorter ASYMMETRIC probe prefix (2t/(1+t) bound on the
+    // smaller side of each size-ordered pair — PPJoin's self-join
+    // refinement) was implemented and A/B'd: min-of-8 6.0 s vs 2.1 s
+    // for this form at sf0.1 — the compound size-order join predicate
+    // defeated the planner (a straggling single-task stage appeared
+    // downstream); rejected, kept symmetric.
     left.join(right, Seq("_sid"))
       .filter(col("id1") < col("id2"))
       .filter(greatest(col("_sz1"), col("_sz2")) * lit(tNum.toLong) <=
         least(col("_sz1"), col("_sz2")) * lit(tDen.toLong))
-      .groupBy(col("id1"), col("id2"))
-      .agg(max(least(col("_sz1") - col("_rk1"), col("_sz2") - col("_rk2")))
-          .as("_rem"),
-        max(col("_sz1")).as("_s1"), max(col("_sz2")).as("_s2"))
-      .filter((col("_rem") + 1) * lit((tDen + tNum).toLong) >=
-        lit(tNum.toLong) * (col("_s1") + col("_s2")))
+      .filter((least(col("_sz1") - col("_rk1"), col("_sz2") - col("_rk2")) + 1) *
+        lit((tDen + tNum).toLong) >=
+        lit(tNum.toLong) * (col("_sz1") + col("_sz2")))
       .select("id1", "id2")
+      .distinct()
   }
 
   /** Candidate pairs complete for Jaccard ≥ tNum/tDen: ids sharing a
