@@ -93,8 +93,15 @@ object Components {
       .select(col("_e._a").as("_a"), col("_e._b").as("_b"))
       .join(universe.withColumnRenamed("_u", "_a"), Seq("_a"), "left_semi")
       .join(universe.withColumnRenamed("_u", "_b"), Seq("_b"), "left_semi")
-      .distinct()
+      // repartition BEFORE the distinct: HashPartitioning(_b) is a
+      // subset of the distinct's (_a, _b) clustering keys, so the
+      // dedup aggregate reuses the repartition exchange instead of
+      // adding its own — one exchange of the edge table, not two —
+      // and the aggregate preserves the _b partitioning the rounds
+      // join on (guide §2.4: two operations keyed compatibly share
+      // one exchange)
       .repartition(col("_b"))
+      .distinct()
       .localCheckpoint()
     try {
       val labelType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
