@@ -321,7 +321,10 @@ object Similarity {
     assigned.select(col("cid"), col("id").as("id1"))
       .join(assigned.select(col("cid"), col("id").as("id2")), Seq("cid"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      // no distinct: each id sits in exactly ONE list (top-1
+      // assignment), so the self-join emits every ordered pair once —
+      // the distinct was a full exchange of the pair set for a no-op
+      .select("id1", "id2")
   }
 
   /** IVF-Flat top-k: queries probe their `nprobe` nearest lists, each
@@ -356,12 +359,16 @@ object Similarity {
       col("id").as("nid"))
     val probes = vecs.select(col("id").as("qid"),
       explode(col("pids")).as("cid"))
-    // multi-probe duplicates collapse on the deduped (qid, nid) pair —
-    // the pair's cosine is probe-independent, so distinct-then-score
-    // equals the old score-then-max(cos) row for row
+    // NO distinct on the candidates: unlike the LSH paths (where
+    // every shared rotation re-emits a pair), (qid, nid) is already
+    // unique here — each nid has exactly ONE home list (the top-1
+    // assignment) and a probe list holds nprobe DISTINCT cids, so a
+    // pair arises at most once. The distinct this used to carry was a
+    // full exchange + aggregate of the candidate set for a no-op
+    // (guide §2.4: a `distinct` on data that is already unique).
     val cands = probes.join(lists, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
-      .select("qid", "nid").distinct()
+      .select("qid", "nid")
     val scored = cands
       .join(vecs.select(col("id").as("qid"), col("v").as("qv"),
         col("n").as("qn")), Seq("qid"))
