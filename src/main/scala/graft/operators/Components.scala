@@ -105,10 +105,12 @@ object Components {
       .localCheckpoint()
     try {
       val labelType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
+      // a bare projection of the checkpointed universe — its plan is
+      // Project(LogicalRDD), already O(1) lineage, so a checkpoint of
+      // its own would only add one more eager barrier job
       var labels = universe.select(col("_u").as("_id"), col("_u").as("_comp"))
-        .localCheckpoint()
-      // the checkpointed frame BEHIND labels (labels itself becomes a
-      // projection of it after round 1) — what release targets
+      // the checkpointed frame BEHIND labels — what release targets
+      // (releaseCheckpoint is a no-op on the initial projection)
       var labelsCp: DataFrame = labels
       var changed = 1L
       var i = 0
@@ -131,20 +133,24 @@ object Components {
         // pointer jump: label ← label(label). Every label value is
         // itself a node id with exactly one relaxed row, so the inner
         // equi-join is 1:1 and row-preserving.
+        // the jump join is NOT checkpointed: both of its sides read
+        // the materialized `relaxed`, so it is a cheap cached-input
+        // join — the count below and the next round's relax each
+        // evaluate it once, which costs less than the eager barrier
+        // job a checkpoint would add per round (2 jobs/round, not 3);
+        // labels' plan stays O(1): Project(Join(LogicalRDD, LogicalRDD))
         val lookup = relaxed.select(col("_id").as("_tmp"), col("_tmp").as("_cc"))
         val jumped = relaxed
           .join(lookup, Seq("_tmp"))
           .select(col("_id"), col("_cc").as("_comp"), col("_old"))
-          .localCheckpoint()
-        // one counting action per round, on the checkpointed result
+        // one counting action per round (materializes relaxed)
         changed = jumped.filter(col("_comp") =!= col("_old")).count()
-        // jumped is materialized: the PREVIOUS round's labels and this
-        // round's relax intermediate are superseded — release their
-        // checkpoint blocks now instead of pinning O(rounds·|V|)
-        // storage on the caller's SparkContext
+        // relaxed is materialized: the PREVIOUS round's relax frame
+        // (behind labels) is superseded — release its checkpoint
+        // blocks now instead of pinning O(rounds·|V|) storage on the
+        // caller's SparkContext
         org.apache.spark.sql.GraftShims.releaseCheckpoint(labelsCp)
-        org.apache.spark.sql.GraftShims.releaseCheckpoint(relaxed)
-        labelsCp = jumped
+        labelsCp = relaxed
         labels = jumped.select(col("_id"), col("_comp"))
         if (IterDebug.on) IterDebug.log(
           s"components round=$i changed=$changed secs=${(System.nanoTime() - t0) / 1e9}")
