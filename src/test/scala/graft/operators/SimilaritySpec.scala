@@ -244,6 +244,31 @@ class SimilaritySpec extends SparkSuite {
     assert(autoPairs === pinnedPairs)
   }
 
+  test("IVF candidate pairs arrive unique WITHOUT a distinct") {
+    // the invariant behind dropping the candidate `.distinct()`
+    // (guide §2.4 — it was a full exchange of the pair set for a
+    // no-op): each id sits in exactly ONE inverted list (top-1
+    // assignment) and a probe list holds nprobe DISTINCT centroid
+    // ids, so no (id1, id2) — and no ivfTopK (qid, nid) candidate —
+    // can arise twice. If someone reintroduces a duplicate source
+    // (e.g. multi-assignment), this pins the regression.
+    val pairs = Similarity.ivfPairs(emb, "vec_id", "embedding",
+        nlist = 8, iters = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs.size === pairs.distinct.size)
+    // ranks dense 1..k proves the scored candidate set fed to the
+    // window had no duplicate (qid, nid) rows either (a duplicate
+    // would produce two rows of the same pair at adjacent ranks)
+    val topk = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+        nlist = 8, nprobe = 3, iters = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byQ = topk.groupBy(_._1)
+    assert(byQ.values.forall(rows =>
+      rows.map(_._2).sorted.toSeq == (1L to rows.length)))
+    assert(byQ.values.forall(rows =>
+      rows.map(_._3).distinct.size == rows.size))
+  }
+
   test("ivfTopKAuto returns dense ranked results on the fixture") {
     val out = Similarity.ivfTopKAuto(emb, "vec_id", "embedding", k = 3)
       .as[(Long, Long, Long)].collect()
