@@ -143,8 +143,18 @@ object Components {
         val jumped = relaxed
           .join(lookup, Seq("_tmp"))
           .select(col("_id"), col("_cc").as("_comp"), col("_old"))
-        // one counting action per round (materializes relaxed)
-        changed = jumped.filter(col("_comp") =!= col("_old")).count()
+        // one counting action per round (materializes relaxed) — on the
+        // RELAX delta, not the jump result, so the count job is a bare
+        // cached scan instead of evaluating the jump join a second
+        // time. Stopping on relax-no-change is EQUIVALENT: at a relax
+        // fixpoint every (direction-doubled) edge has equal labels on
+        // both ends, so labels are constant per component and the
+        // component min (whose own label never moves) pins the
+        // constant — the jump is then the identity; conversely any
+        // relax change tmp(x) < old(x) forces jumped(x) ≤ tmp(x) <
+        // old(x), so both conditions fire on exactly the same round
+        // and the returned labels are identical.
+        changed = relaxed.filter(col("_tmp") =!= col("_old")).count()
         // relaxed is materialized: the PREVIOUS round's relax frame
         // (behind labels) is superseded — release its checkpoint
         // blocks now instead of pinning O(rounds·|V|) storage on the
