@@ -142,7 +142,7 @@ object Components {
         val lookup = relaxed.select(col("_id").as("_tmp"), col("_tmp").as("_cc"))
         val jumped = relaxed
           .join(lookup, Seq("_tmp"))
-          .select(col("_id"), col("_cc").as("_comp"), col("_old"))
+          .select(col("_id"), col("_cc").as("_comp"))
         // one counting action per round (materializes relaxed) — on the
         // RELAX delta, not the jump result, so the count job is a bare
         // cached scan instead of evaluating the jump join a second
@@ -161,7 +161,7 @@ object Components {
         // caller's SparkContext
         org.apache.spark.sql.GraftShims.releaseCheckpoint(labelsCp)
         labelsCp = relaxed
-        labels = jumped.select(col("_id"), col("_comp"))
+        labels = jumped
         if (IterDebug.on) IterDebug.log(
           s"components round=$i changed=$changed secs=${(System.nanoTime() - t0) / 1e9}")
         i += 1
